@@ -1,0 +1,384 @@
+"""Per-document extraction kernel (pure Python, no Spark imports).
+
+Reimplements the reference's parse pipeline over one HTML document:
+- Parse + retry loop        /root/reference/defuddle.go:133-169
+- parseInternal order       /root/reference/defuddle.go:393-619
+- findMainContent           /root/reference/defuddle.go:647-691
+- findTableBasedContent     /root/reference/defuddle.go:714-732
+- findContentByScoring      /root/reference/defuddle.go:742-749
+- removeBySelector          /root/reference/defuddle.go:780-807
+- removeHiddenElements      /root/reference/defuddle.go:1392-1417
+- find/removeSmallImages    /root/reference/defuddle.go:1537-1599
+- removeAllImages           /root/reference/defuddle.go:1603-1614
+- getElementIdentifier      /root/reference/defuddle.go:1654-1686
+- countWords                /root/reference/defuddle.go:889-896
+- charset decode            /root/reference/defuddle.go:241-257
+
+The Spark job wraps `extract_batch` in mapInPandas (Arrow batches); this
+module itself is Spark-free so it can be unit-tested without a JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+from . import constants, metadata, schema_org, scoring
+from .dom import Document, Element, parse
+from .selectors import compile_selector, find_all, find_first
+from .standardize import standardize_content
+
+MIN_IMAGE_DIMENSION = 33  # defuddle.go:1538
+RETRY_WORD_THRESHOLD = 200  # defuddle.go:141
+
+_ENTRY_SELECTORS = [compile_selector(s) for s in constants.ENTRY_POINT_ELEMENTS
+                    if s != "body"]
+_EXACT_SELECTORS = [compile_selector(s) for s in constants.EXACT_SELECTORS]
+_PARTIAL_PATTERNS = [p.lower() for p in constants.PARTIAL_SELECTORS]
+_META_CHARSET_RE = re.compile(
+    rb'<meta[^>]+charset\s*=\s*["\']?\s*([a-zA-Z0-9_\-]+)', re.IGNORECASE)
+
+
+@dataclass
+class Options:
+    """types.go:26-68 subset relevant to the batch engine."""
+    url: str = ""
+    remove_exact_selectors: bool = True
+    remove_partial_selectors: bool = True
+    remove_images: bool = False
+    markdown: bool = False
+    debug: bool = False
+
+
+@dataclass
+class Result:
+    content: str = ""
+    extracted_text: str = ""
+    title: str = ""
+    description: str = ""
+    domain: str = ""
+    favicon: str = ""
+    image: str = ""
+    published: str = ""
+    author: str = ""
+    site: str = ""
+    word_count: int = 0
+    parse_time_ms: int = 0
+    extractor_type: Optional[str] = None
+    schema_org: str = "[]"
+    meta_tags: List[dict] = field(default_factory=list)
+    retry_used: bool = False
+    error: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# Charset decode (defuddle.go:241-257 / x/net/html charset semantics)
+# ---------------------------------------------------------------------------
+
+def decode_html(data: bytes) -> str:
+    """BOM → <meta charset> prescan (first 1024 bytes) → utf-8 → cp1252."""
+    if not data:
+        return ""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8", errors="replace")
+    if data.startswith(b"\xff\xfe"):
+        return data.decode("utf-16-le", errors="replace")
+    if data.startswith(b"\xfe\xff"):
+        return data.decode("utf-16-be", errors="replace")
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m is not None:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            return data.decode(enc, errors="replace")
+        except LookupError:
+            pass
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("cp1252", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# Meta tags (defuddle.go:1190-1213)
+# ---------------------------------------------------------------------------
+
+def collect_meta_tags(doc: Document) -> List[dict]:
+    tags: List[dict] = []
+    for el in doc.html.descendants():
+        if el.tag != "meta":
+            continue
+        content = el.get("content")
+        if content:
+            tags.append({
+                "name": el.get("name"),
+                "property": el.get("property"),
+                "content": content,
+            })
+    return tags
+
+
+# ---------------------------------------------------------------------------
+# Main-content selection (defuddle.go:647-749)
+# ---------------------------------------------------------------------------
+
+def find_main_content(doc: Document) -> Optional[Element]:
+    for sel in _ENTRY_SELECTORS:
+        el = sel.find_first(doc.html)
+        if el is not None:
+            return el
+    table_content = _find_table_based_content(doc)
+    if table_content is not None:
+        return table_content
+    scored = _find_content_by_scoring(doc)
+    if scored is not None:
+        return scored
+    return doc.body
+
+
+def _find_table_based_content(doc: Document) -> Optional[Element]:
+    best = None
+    best_score = 0.0
+    for table in (d for d in doc.html.descendants() if d.tag == "table"):
+        for cell in (d for d in table.descendants() if d.tag == "td"):
+            s = scoring.score_element(cell)
+            if s > best_score:
+                best_score = s
+                best = cell
+    return best if best_score > 50 else None
+
+
+def _find_content_by_scoring(doc: Document) -> Optional[Element]:
+    candidates = [d for d in doc.html.descendants()
+                  if d.tag in ("div", "section", "article", "main")]
+    return scoring.find_best_element(candidates, 50)
+
+
+# ---------------------------------------------------------------------------
+# Clutter removal (defuddle.go:780-807, 1392-1417, 1537-1614)
+# ---------------------------------------------------------------------------
+
+def remove_by_selector(doc: Document, remove_exact: bool, remove_partial: bool) -> None:
+    root = doc.html
+    if remove_exact:
+        for sel in _EXACT_SELECTORS:
+            for el in sel.find_all(root):
+                el.remove()
+    if remove_partial:
+        to_check = list(root.descendants())
+        for el in to_check:
+            for attr in constants.TEST_ATTRIBUTES:
+                value = el.get(attr)
+                if value:
+                    lower = value.lower()
+                    removed = False
+                    for pattern in _PARTIAL_PATTERNS:
+                        if pattern in lower:
+                            el.remove()
+                            removed = True
+                            break
+                    if removed:
+                        break
+
+
+def remove_hidden_elements(doc: Document) -> None:
+    for el in list(doc.html.descendants()):
+        style = el.get("style")
+        if not style:
+            continue
+        lower = style.lower()
+        if ("display:none" in lower or "display: none" in lower
+                or "visibility:hidden" in lower or "visibility: hidden" in lower
+                or "opacity:0" in lower or "opacity: 0" in lower):
+            el.remove()
+
+
+def _parse_int_attr(el: Element, name: str) -> int:
+    v = el.get(name)
+    if not v:
+        return 0
+    try:
+        return int(v)
+    except ValueError:
+        return 0
+
+
+def _element_identifier(el: Element) -> str:
+    """defuddle.go:1654-1686."""
+    if el.tag == "img":
+        for attr, prefix in (("data-src", "src:"), ("src", "src:"),
+                             ("srcset", "srcset:"), ("data-srcset", "srcset:")):
+            v = el.get(attr)
+            if v:
+                return prefix + v
+    v = el.get("id")
+    if v:
+        return "id:" + v
+    if el.tag == "svg":
+        v = el.get("viewBox") or el.get("viewbox")
+        if v:
+            return "viewBox:" + v
+    v = el.get("class")
+    if v:
+        return "class:" + v
+    return ""
+
+
+def find_small_images(doc: Document) -> set:
+    small = set()
+    for el in doc.html.descendants():
+        if el.tag not in ("img", "svg"):
+            continue
+        width = _parse_int_attr(el, "width")
+        height = _parse_int_attr(el, "height")
+        if (0 < width < MIN_IMAGE_DIMENSION) or (0 < height < MIN_IMAGE_DIMENSION):
+            ident = _element_identifier(el)
+            if ident:
+                small.add(ident)
+    return small
+
+
+def remove_small_images(doc: Document, small: set) -> None:
+    for el in list(doc.html.descendants()):
+        if el.tag in ("img", "svg"):
+            ident = _element_identifier(el)
+            if ident and ident in small:
+                el.remove()
+
+
+def remove_all_images(doc: Document) -> None:
+    for el in list(doc.html.descendants()):
+        if el.tag in ("img", "svg", "picture", "video", "canvas"):
+            el.remove()
+
+
+# ---------------------------------------------------------------------------
+# Word counting (defuddle.go:889-896)
+# ---------------------------------------------------------------------------
+
+def count_words(content_html: str) -> int:
+    doc = parse(content_html)
+    return len(doc.html.text().split())
+
+
+# ---------------------------------------------------------------------------
+# Parse pipeline
+# ---------------------------------------------------------------------------
+
+def _parse_internal(html_str: str, options: Options) -> Result:
+    """defuddle.go:393-619 (generic path; extractor dispatch in extractors/)."""
+    start = time.monotonic()
+    doc = parse(html_str)
+
+    schema_items = schema_org.extract_schema_org(doc.html)
+    meta_tags = collect_meta_tags(doc)
+    meta = metadata.extract(doc.html, schema_items, meta_tags, options.url)
+
+    # Site-specific extractor dispatch (defuddle.go:420-492)
+    from .extractors import find_extractor  # local import to avoid cycles
+    extractor = find_extractor(doc, options.url, schema_items)
+    if extractor is not None and extractor.can_extract():
+        extracted = extractor.extract()
+        site = extracted.variables.get("site", meta["site"]) if extracted.variables else meta["site"]
+        result = Result(
+            content=extracted.content_html,
+            title=extracted.variables.get("title") or meta["title"],
+            description=extracted.variables.get("description") or meta["description"],
+            domain=meta["domain"],
+            favicon=meta["favicon"],
+            image=extracted.variables.get("image") or meta["image"],
+            published=extracted.variables.get("published") or meta["published"],
+            author=extracted.variables.get("author") or meta["author"],
+            site=site,
+            word_count=count_words(extracted.content_html),
+            extractor_type=extractor.name().lower(),
+            schema_org=json.dumps(schema_items, ensure_ascii=False, separators=(",", ":")),
+            meta_tags=meta_tags,
+        )
+        result.extracted_text = parse(extracted.content_html).html.text()
+        result.parse_time_ms = int((time.monotonic() - start) * 1000)
+        return result
+
+    # findSmallImages runs on the document before main-content selection
+    small_images = find_small_images(doc)
+
+    main_content = find_main_content(doc)
+    if main_content is None:
+        content = doc.body.inner_html()
+        result = Result(
+            content=content,
+            extracted_text=doc.body.text(),
+            word_count=count_words(content),
+            schema_org=json.dumps(schema_items, ensure_ascii=False, separators=(",", ":")),
+            meta_tags=meta_tags,
+            **{k: meta[k] for k in ("title", "description", "domain", "favicon",
+                                    "image", "published", "author", "site")},
+        )
+        result.parse_time_ms = int((time.monotonic() - start) * 1000)
+        return result
+
+    # Mutation phase on the whole working document (goquery no-clone quirk:
+    # removals apply inside the already-selected main content subtree too)
+    remove_small_images(doc, small_images)
+    if options.remove_images:
+        remove_all_images(doc)
+    remove_hidden_elements(doc)
+    scoring.score_and_remove(doc.html)
+    if options.remove_exact_selectors or options.remove_partial_selectors:
+        remove_by_selector(doc, options.remove_exact_selectors,
+                           options.remove_partial_selectors)
+
+    standardize_content(main_content, meta["title"], doc, options.debug)
+
+    content = main_content.inner_html()
+    result = Result(
+        content=content,
+        extracted_text=main_content.text(),
+        word_count=count_words(content),
+        schema_org=json.dumps(schema_items, ensure_ascii=False, separators=(",", ":")),
+        meta_tags=meta_tags,
+        **{k: meta[k] for k in ("title", "description", "domain", "favicon",
+                                "image", "published", "author", "site")},
+    )
+    result.parse_time_ms = int((time.monotonic() - start) * 1000)
+    return result
+
+
+def extract_document(html_str: str, url: str = "",
+                     options: Optional[Options] = None) -> Result:
+    """Full Parse() with the word-count retry loop (defuddle.go:133-169)."""
+    if options is None:
+        options = Options()
+    options.url = url or options.url
+    try:
+        result = _parse_internal(html_str, options)
+        if result.word_count < RETRY_WORD_THRESHOLD:
+            retry_opts = Options(
+                url=options.url,
+                remove_exact_selectors=options.remove_exact_selectors,
+                remove_partial_selectors=False,
+                remove_images=options.remove_images,
+                debug=options.debug,
+            )
+            retry = _parse_internal(html_str, retry_opts)
+            if retry.word_count > result.word_count:
+                retry.retry_used = True
+                return retry
+        return result
+    except Exception as exc:  # per-doc failure isolation (north_rule)
+        res = Result(error=f"{type(exc).__name__}: {exc}")
+        try:
+            doc = parse(html_str)
+            res.content = doc.body.inner_html()
+            res.extracted_text = doc.body.text()
+            res.word_count = len(res.extracted_text.split())
+        except Exception:
+            pass
+        return res
+
+
+def extract_document_bytes(html_bytes: bytes, url: str = "",
+                           options: Optional[Options] = None) -> Result:
+    return extract_document(decode_html(html_bytes), url, options)
