@@ -1,38 +1,297 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction over synthesized sf0.001 pages.
+queries()      — operator surface from SURVEY.md §2 + training-data ops.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
+                 kernel-internal/probabilistic ops get rows-only checks.
+
+The extraction queries close the loop end-to-end: pages are synthesized
+from the `documents` table with native Spark SQL templates whose
+extraction result is *predictable in SQL* (see defuddle_spark/spark/pages.py
+synthesis contract), so DuckDB can assert byte-identical extracted text,
+titles, metadata chains, and word counts against the real kernel output.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF_001 = "/root/testdata/sf0.001"
+
+# shared SQL fragments for the oracles
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_WC = f"CAST(len({_TOKENS}) AS INTEGER)"
+_URL = "'https://docs.example.test/' || lang || '/' || source || '/' || doc_id || '-r0'"
+_TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
+
+
+def _pages(spark: SparkSession, sf_dir: str):
+    from defuddle_spark.spark.pages import synthesize_pages
+    return synthesize_pages(spark, sf_dir)
+
+
+def _extract(spark: SparkSession, sf_dir: str, archetype=None) -> DataFrame:
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = _pages(spark, sf_dir)
+    if archetype is not None:
+        pages = pages.filter(F.col("doc_id") % 3 == archetype)
+    return extract_pages(pages.select("url", "html"), with_routing_column=False)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-id copy — deterministic planted duplicates so the
+    dedup/jaccard checks exercise real collapsing, not a no-op."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+
+
+_DOCS_DOUBLED_SQL = ("(SELECT doc_id, text FROM documents "
+                     "UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents)")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001 synthesized pages."""
+    return _extract(spark, SF_001).select(
+        "url", "title", "author", "site", "domain", "published",
+        "extracted_text", "word_count", "extractor_type", "error")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_extract_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract(spark, sf_dir, archetype=0).select(
+        "url", "title", "extracted_text", "word_count")
+
+
+def q_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract(spark, sf_dir, archetype=1).select(
+        "url", "title", "author", "site", "description", "published", "domain")
+
+
+def q_extract_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extract(spark, sf_dir, archetype=2).select(
+        "url", "content", "extracted_text", "word_count")
+
+
+def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extract(spark, sf_dir)
+    lang = F.regexp_extract("url", r"docs\.example\.test/([a-z]+)/", 1)
+    return (out.withColumn("lang", lang)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("word_count").alias("sum_words"),
+                 F.round(F.avg("word_count"), 4).alias("avg_words"))
+            .select("lang", "n_docs", "sum_words", "avg_words"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.dedup import dedup_exact
+    return dedup_exact(_docs_doubled(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs_doubled(spark, sf_dir), k=3, threshold=0.6)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.textstats import text_quality
+    return text_quality(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.textstats import fingerprint
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.textstats import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, [float(x) for x in query], k=10)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.dedup import minhash_lsh_candidates
+    return (minhash_lsh_candidates(_docs_doubled(spark, sf_dir))
+            .filter(F.col("est_jaccard") >= 0.5)
+            .select("id_a", "id_b"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs_doubled(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(emb, [float(x) for x in query], k=10)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.multimodal import extract_features, synthesize_media
+    return extract_features(synthesize_media(spark, n=256))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_semantic": q_extract_semantic,
+        "extract_metadata": q_extract_metadata,
+        "extract_flatten": q_extract_flatten,
+        "extract_lang_stats": q_extract_lang_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # rows-only (probabilistic / hash-seeded, not ANSI-SQL-expressible):
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ",".join(f"'{w}'" for w in [
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+        "for", "on", "with", "as", "was", "at", "by", "be", "this", "are",
+        "from", "have", "has", "not", "but", "they", "you", "his", "her"])
+    return {
+        "extract_semantic": f"""
+            SELECT {_URL} AS url, {_TITLE} AS title,
+                   text AS extracted_text, {_WC} AS word_count
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "extract_metadata": f"""
+            SELECT {_URL} AS url, {_TITLE} AS title,
+                   'Synthetic Author' AS author,
+                   'Example Docs' AS site,
+                   'Synthetic description of Doc ' || CAST(doc_id AS VARCHAR) || '.' AS description,
+                   '2024-01-15T00:00:00Z' AS published,
+                   'docs.example.test' AS domain
+            FROM documents WHERE doc_id % 3 = 1
+        """,
+        "extract_flatten": f"""
+            SELECT {_URL} AS url,
+                   '<p>' || text || '</p>' AS content,
+                   text AS extracted_text, {_WC} AS word_count
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        "extract_lang_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum(len({_TOKENS})) AS sum_words,
+                   round(avg(len({_TOKENS})), 4) AS avg_words
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS INTEGER) AS dup_count
+            FROM {_DOCS_DOUBLED_SQL} GROUP BY md5(text)
+        """,
+        "ngram_jaccard": f"""
+            WITH docs2 AS (SELECT * FROM {_DOCS_DOUBLED_SQL}),
+            sh AS (
+                -- every doc in this corpus has >= 3 tokens (the Spark side
+                -- carries a < k fallback branch; unreachable here)
+                SELECT DISTINCT doc_id, sh FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, len(toks) - 1)]) AS sh
+                    FROM (SELECT doc_id, {_TOKENS} AS toks FROM docs2)
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b USING (sh)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.6
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   round(list_sum(list_transform({_TOKENS}, t -> length(t)))::DOUBLE
+                         / greatest(len({_TOKENS}), 1), 6) AS avg_token_len,
+                   round(len(list_filter({_TOKENS}, t -> list_contains([{stop}], lower(t))))::DOUBLE
+                         / greatest(len({_TOKENS}), 1), 6) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[,.!?:;]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(least(len({_TOKENS})::DOUBLE / 100.0, 1.0) * 0.5
+                         + least(len(list_filter({_TOKENS}, t -> list_contains([{stop}], lower(t))))::DOUBLE
+                                 / greatest(len({_TOKENS}), 1) * 5.0, 1.0) * 0.3
+                         + (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                                        / greatest(length(text), 1) * 10.0, 1.0)) * 0.2, 6) AS quality_score
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOKENS}, ' ')) AS fp_md5,
+                   list_reduce(list_prepend(7::BIGINT,
+                       list_transform({_TOKENS}, t -> length(t)::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+                SELECT doc_id, text,
+                       length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk,
+                       len(list_filter({_TOKENS}, t -> list_contains(['the','and','of','to','is','that','with','for'], lower(t)))) AS s_en,
+                       len(list_filter({_TOKENS}, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], lower(t)))) AS s_de,
+                       len(list_filter({_TOKENS}, t -> list_contains(['le','la','les','et','est','pas','une','des'], lower(t)))) AS s_fr,
+                       len(list_filter({_TOKENS}, t -> list_contains(['el','la','los','las','es','una','que','por'], lower(t)))) AS s_es
+                FROM documents
+            )
+            , fold1 AS (
+                SELECT *, CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS l1,
+                       CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS m1
+                FROM scored
+            ), fold2 AS (
+                SELECT *, CASE WHEN s_fr > m1 THEN 'fr' ELSE l1 END AS l2,
+                       CASE WHEN s_fr > m1 THEN s_fr ELSE m1 END AS m2
+                FROM fold1
+            )
+            SELECT doc_id,
+                   CASE WHEN n_cjk * 4 > length(text) THEN 'zh'
+                        WHEN s_es > m2 THEN 'es'
+                        ELSE l2 END AS pred_lang
+            FROM fold2
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+    }

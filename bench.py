@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline number is wall seconds, with extraction docs/sec attached
+(BASELINE.md's comparison axis). tools/scaling_bench.py runs the same
+job at two parallelism levels for the N→4N efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from defuddle_spark.ops.dedup import dedup_exact, minhash_lsh_candidates
+    from defuddle_spark.ops.similarity import cosine_topk
+    from defuddle_spark.ops.textstats import text_quality
+    from defuddle_spark.spark.pages import synthesize_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    from defuddle_spark.spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="defuddle-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = synthesize_pages(spark, sf_dir, replicate=replicate)
+    pages = pages.select("url", "html").cache()
+    n_pages = pages.count()  # materialize synthesis outside the timed window
+
+    timings: dict = {}
+    t0 = time.monotonic()
+
+    t = time.monotonic()
+    out = extract_pages(pages, salt_partitions=2 * cpus, with_routing_column=False)
+    out.agg(F.sum(F.length("content")), F.sum("word_count"),
+            F.count("error")).collect()
+    timings["extract"] = round(time.monotonic() - t, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    t = time.monotonic()
+    dedup_exact(docs).agg(F.sum("dup_count")).collect()
+    timings["dedup_exact"] = round(time.monotonic() - t, 3)
+
+    t = time.monotonic()
+    minhash_lsh_candidates(docs).agg(F.count("*")).collect()
+    timings["minhash_lsh"] = round(time.monotonic() - t, 3)
+
+    t = time.monotonic()
+    text_quality(docs).agg(F.avg("quality_score")).collect()
+    timings["text_quality"] = round(time.monotonic() - t, 3)
+
+    t = time.monotonic()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cosine_topk(emb, [float(x) for x in qvec], k=10).collect()
+    timings["ann_cosine_topk"] = round(time.monotonic() - t, 3)
+
+    total = round(time.monotonic() - t0, 3)
+    docs_per_sec = round(n_pages / timings["extract"], 2)
+
+    print(json.dumps({
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": n_pages,
+        "cpus": cpus,
+        "extraction_docs_per_sec": docs_per_sec,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

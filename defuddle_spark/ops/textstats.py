@@ -1,0 +1,108 @@
+"""Text analysis operators: token counts, quality scoring, language-id,
+document fingerprints. All native Spark SQL expressions (JVM-side,
+whole-stage codegen); language-id is a pure column expression too —
+an n-gram/stopword-marker heuristic, no model download."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Small deterministic English stopword list (public, standard function words)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are",
+    "from", "have", "has", "not", "but", "they", "you", "his", "her",
+]
+
+# Marker words per language for the heuristic language-id
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "por"],
+}
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count_col(text_col: str) -> F.Column:
+    return F.size(_tokens(text_col))
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
+    punct_ratio, digit_ratio, quality_score). Length/punct/stopword-ratio
+    quality scoring per the training-data-pipeline spec."""
+    tokens = _tokens(text_col)
+    n_tokens = F.size(tokens)
+    n_chars = F.length(F.col(text_col))
+    avg_len = F.round(
+        F.aggregate(tokens, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double")
+        / F.greatest(n_tokens, F.lit(1)), 6)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    # raw (unrounded) ratios feed the composite so the score never sits on
+    # a decimal rounding boundary; reported columns are rounded copies
+    stop_raw = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[,.!?:;]", ""))
+    punct_raw = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    n_digit = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    digit_raw = n_digit.cast("double") / F.greatest(n_chars, F.lit(1))
+    # simple composite: longer docs with some stopwords and few digits score higher
+    quality = F.round(
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_raw * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(digit_raw * F.lit(10.0), F.lit(1.0))) * 0.2, 6)
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars"),
+        avg_len.alias("avg_token_len"),
+        F.round(stop_raw, 6).alias("stopword_ratio"),
+        F.round(punct_raw, 6).alias("punct_ratio"),
+        F.round(digit_raw, 6).alias("digit_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, fp_md5, fp_poly) — md5 of whitespace-normalized text plus an
+    order-sensitive polynomial rolling hash over token lengths, computed
+    mod 1e9+7 so the arithmetic is portable (no ANSI int64 overflow)."""
+    norm = F.concat_ws(" ", _tokens(text_col))
+    fp_md5 = F.md5(F.encode(norm, "UTF-8"))
+    fp_poly = F.aggregate(
+        _tokens(text_col), F.lit(7).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long")
+                              + F.length(t).cast("long"),
+                              F.lit(1000000007).cast("long")))
+    return docs.select(F.col(id_col), fp_md5.alias("fp_md5"),
+                       fp_poly.alias("fp_poly"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — heuristic: CJK char ratio → zh, else the
+    language whose marker-word hit count is highest (ties: en)."""
+    tokens = F.transform(_tokens(text_col), F.lower)
+    n_cjk = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[一-鿿]", ""))
+    def _marker_score(markers):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _marker_score(markers)
+              for lang, markers in LANG_MARKERS.items()}
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("de", "fr", "es"):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    pred = F.when(n_cjk * 4 > F.length(F.col(text_col)), F.lit("zh")).otherwise(best)
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))

@@ -1,0 +1,125 @@
+"""Deterministic Common-Crawl-style page synthesis.
+
+BASELINE.json input_hint mandates the input shape
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``;
+no real web corpus exists in the sandbox, so pages are synthesized — fully
+deterministically, with native Spark SQL expressions only — from the
+driver-generated ``documents`` table. The synthesis contract that makes
+the DuckDB oracle possible:
+
+- ``url`` is a pure function of (lang, source, doc_id, replica);
+- the page body carries ``documents.text`` verbatim inside the article;
+- every clutter block is removable by the kernel's *exact* selectors
+  (nav/header/footer/aside/.ad/.sidebar/#comments), never only by partial
+  selectors — so the reference's retry-without-partial-selectors pass
+  (triggered for short docs) produces the identical result and extraction
+  byte-identity holds regardless of word count;
+- the page ``<title>``/og:title equals ``'Doc ' || doc_id`` so the first
+  heading is dropped by the title-match rule and extracted text is exactly
+  ``documents.text``.
+
+Three archetypes (doc_id % 3): semantic-article, metadata-rich,
+wrapper-heavy (nested divs the flattener must unwrap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def synthesize_pages(spark: SparkSession, sf_dir: str,
+                     replicate: int = 1, with_meta: bool = True) -> DataFrame:
+    """documents.parquet → pages table of the authoritative input shape.
+
+    ``replicate`` > 1 crossjoins a replica index (deterministic) to scale
+    the corpus for benchmarks; urls stay unique per replica.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        replicas = spark.range(replicate).withColumnRenamed("id", "replica")
+        docs = docs.crossJoin(F.broadcast(replicas))
+    else:
+        docs = docs.withColumn("replica", F.lit(0))
+
+    url = F.concat(
+        F.lit("https://docs.example.test/"), F.col("lang"), F.lit("/"),
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("-r"), F.col("replica").cast("string"),
+    )
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    warc_ts = F.timestamp_seconds(
+        F.lit(1704067200) + F.col("doc_id") * 60 + F.col("replica"))
+
+    archetype = F.col("doc_id") % 3
+
+    head_common = F.concat(
+        F.lit('<head><meta charset="utf-8"><title>'), title, F.lit("</title>"),
+        F.when(
+            archetype == 1,
+            F.concat(
+                F.lit('<meta property="og:title" content="'), title, F.lit('">'),
+                F.lit('<meta property="og:site_name" content="Example Docs">'),
+                F.lit('<meta name="author" content="Synthetic Author">'),
+                F.lit('<meta name="description" content="Synthetic description of '),
+                title, F.lit('.">'),
+                F.lit('<meta property="article:published_time" content="2024-01-15T00:00:00Z">'),
+                F.lit('<link rel="canonical" href="'), url, F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+
+    clutter_top = F.lit(
+        '<header><div class="logo">Example Docs</div></header>'
+        '<nav><a href="/">Home</a><a href="/archive">Archive</a><a href="/tags">Tags</a></nav>'
+        '<div class="ad">Buy widgets now! Limited time offer for subscribers.</div>'
+    )
+    clutter_bottom = F.lit(
+        '<aside class="sidebar">Trending: <a href="/p1">One</a> <a href="/p2">Two</a></aside>'
+        '<div id="comments"><p>First comment!</p><p>Great post.</p></div>'
+        "<footer>© 2024 Example Docs. All rights reserved.</footer>"
+    )
+
+    body_article = F.when(
+        archetype == 2,
+        # wrapper-heavy: flattener must unwrap nested divs
+        F.concat(
+            F.lit("<article><h1>"), title, F.lit("</h1>"),
+            F.lit('<div class="wrapper"><div class="inner"><p>'),
+            F.col("text"),
+            F.lit("</p></div></div></article>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<article><h1>"), title, F.lit("</h1><p>"),
+            F.col("text"), F.lit("</p></article>"),
+        ),
+    )
+
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html>"),
+        head_common,
+        F.lit("<body>"),
+        clutter_top,
+        F.lit("<main>"), body_article, F.lit("</main>"),
+        clutter_bottom,
+        F.lit("</body></html>"),
+    )
+
+    out = docs.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+        F.col("replica"),
+    )
+    return out
+
+
+def pages_only(df: DataFrame) -> DataFrame:
+    """Project to the authoritative 5-column input shape."""
+    return df.select(*PAGES_COLUMNS)

@@ -1,0 +1,113 @@
+"""Extraction pipeline: pages DataFrame → results DataFrame.
+
+Physical plan (deliberately minimal — everything non-trivial lives in the
+Arrow-batched kernel, everything structural is native so Catalyst can
+prune/push/coalesce):
+
+    scan → filter(html nonempty) → [salted repartition by xxhash64(url)]
+         → routing column (native rlike) → mapInPandas(kernel) → sink
+
+Skew handling (SURVEY.md §4.2): HTML sizes are heavy-tailed; salting by
+url-hash spreads giant docs across partitions instead of letting a
+lexicographic url range concentrate them. At cluster scale set
+``salt_partitions`` ≈ 2-3x total cores; AQE re-coalesces afterwards.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+RESULT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("title", StringType()),
+    StructField("description", StringType()),
+    StructField("domain", StringType()),
+    StructField("favicon", StringType()),
+    StructField("image", StringType()),
+    StructField("published", StringType()),
+    StructField("author", StringType()),
+    StructField("site", StringType()),
+    StructField("content", StringType()),
+    StructField("extracted_text", StringType()),
+    StructField("word_count", IntegerType()),
+    StructField("parse_time_ms", LongType()),
+    StructField("extractor_type", StringType()),
+    StructField("schema_org", StringType()),
+    StructField("meta_tags", ArrayType(StructType([
+        StructField("name", StringType()),
+        StructField("property", StringType()),
+        StructField("content", StringType()),
+    ]))),
+    StructField("retry_used", BooleanType()),
+    StructField("error", StringType()),
+])
+
+_RESULT_FIELDS = [f.name for f in RESULT_SCHEMA.fields]
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame],
+                     remove_images: bool = False) -> Iterator[pd.DataFrame]:
+    """Arrow-batch kernel driver: one Python call per batch, C-parser per doc.
+
+    Imported lazily on executors; selector tables compile once per worker
+    process (module-level caches in defuddle_spark.selectors).
+    """
+    from defuddle_spark.kernel import Options, extract_document_bytes
+
+    opts = Options(remove_images=remove_images)
+    for pdf in batches:
+        rows = []
+        for url, html in zip(pdf["url"].values, pdf["html"].values):
+            if html is None:
+                html = b""
+            if isinstance(html, memoryview):
+                html = bytes(html)
+            opts.url = url
+            r = extract_document_bytes(html, url=url, options=opts)
+            rows.append((
+                url, r.title, r.description, r.domain, r.favicon, r.image,
+                r.published, r.author, r.site, r.content, r.extracted_text,
+                r.word_count, r.parse_time_ms, r.extractor_type, r.schema_org,
+                r.meta_tags or [], r.retry_used, r.error,
+            ))
+        yield pd.DataFrame(rows, columns=_RESULT_FIELDS)
+
+
+def routing_column() -> F.Column:
+    """Native rlike routing (registry.go patterns) — vectorized, JVM-side."""
+    from defuddle_spark.extractors import url_patterns
+
+    col = F.lit(None).cast(StringType())
+    # build right-to-left so the FIRST registered pattern wins
+    for pattern, name in reversed(url_patterns()):
+        col = F.when(F.col("url").rlike(pattern), F.lit(name)).otherwise(col)
+    return col
+
+
+def extract_pages(pages: DataFrame,
+                  salt_partitions: Optional[int] = None,
+                  remove_images: bool = False,
+                  with_routing_column: bool = True) -> DataFrame:
+    """Run the extraction kernel over a pages DataFrame.
+
+    Input must carry (url string, html binary); extra columns are pruned
+    (column pruning reaches the parquet scan — only url+html are read).
+    """
+    df = pages.select("url", "html").filter(
+        F.col("html").isNotNull() & (F.length(F.col("html")) > 0))
+    if salt_partitions:
+        df = df.repartition(salt_partitions, F.xxhash64(F.col("url")))
+    result = df.mapInPandas(
+        lambda it: _extract_batches(it, remove_images=remove_images),
+        schema=RESULT_SCHEMA,
+    )
+    if with_routing_column:
+        result = result.withColumn("extractor_route", routing_column())
+    return result

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for MB-scale HTML rows.
+
+Scale rationale (100 TB / 1000-executor design; tested on local[N]):
+- AQE on: runtime coalescing + skew splitting for the post-kernel stages.
+- Arrow batches capped small (64 rows): pages are ~KB-MB each; default
+  10k-row batches would hold GBs per Python worker.
+- shuffle partitions default to 2x cores locally; on a real cluster this
+  is overridden to ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              app_name: str = "defuddle-spark",
+              arrow_batch_rows: int = 64) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,145 @@
+"""Training-data ops: dedup, similarity, textstats, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup of 1
+        (4, "completely different text about spark shuffles and partitions here"),
+        (5, "der hund läuft und das ist nicht ein problem mit der katze"),
+        (6, "le chat est sur la table et les livres sont pas une surprise"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(toy_docs):
+    from defuddle_spark.ops.dedup import dedup_exact
+    out = {r["doc_id"]: r["dup_count"] for r in dedup_exact(toy_docs).collect()}
+    assert out[1] == 2          # doc 2 collapsed into doc 1
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_pairs(toy_docs):
+    from defuddle_spark.ops.dedup import ngram_jaccard_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(toy_docs, k=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_neardups(toy_docs):
+    from defuddle_spark.ops.dedup import minhash_lsh_candidates
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_candidates(toy_docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert not any((a == 4 or b == 4) for a, b in pairs)
+
+
+def test_simhash_near_pairs(spark, toy_docs):
+    from defuddle_spark.ops.dedup import simhash64, simhash_near_pairs
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(toy_docs).collect()}
+    assert sims[1] == sims[2]  # identical text → identical simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(toy_docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+    # long docs: 1 token changed out of ~70 → small hamming, caught by the
+    # 4x16-bit chunk blocking (pigeonhole guarantees recall for hamming<=3)
+    base = ("spark shuffle partition executor broadcast join aggregate window "
+            "catalyst tungsten codegen arrow pandas kernel parquet iceberg "
+            "manifest lineage checkpoint resume salting skew bucket hash " * 3).split()
+    long_docs = spark.createDataFrame(
+        [(10, " ".join(base)), (11, " ".join(base[:-1] + ["CHANGED"]))],
+        ["doc_id", "text"])
+    long_pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                  for r in simhash_near_pairs(long_docs, max_hamming=3).collect()}
+    assert (10, 11) in long_pairs and long_pairs[(10, 11)] <= 3
+
+
+def test_cosine_topk_exact(spark):
+    from defuddle_spark.ops.similarity import cosine_topk
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert out[0]["cos_sim"] == 1.0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(out[1]["cos_sim"] - round(expected, 4)) < 1e-9
+
+
+def test_lsh_topk_recalls_nearest(spark):
+    from defuddle_spark.ops.similarity import lsh_topk
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    rows = [(0, base.tolist())]
+    for i in range(1, 50):
+        rows.append((i, (base + rng.randn(64) * (0.05 if i < 5 else 2.0)).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = [r["vec_id"] for r in lsh_topk(emb, base.tolist(), k=5).collect()]
+    assert out[0] == 0
+    assert set(out[:5]) & {1, 2, 3, 4}  # close vectors land in the bucket
+
+
+def test_text_quality_and_fingerprint(spark, toy_docs):
+    from defuddle_spark.ops.textstats import fingerprint, text_quality
+    q = {r["doc_id"]: r for r in text_quality(toy_docs).collect()}
+    assert q[1]["n_tokens"] == 13
+    assert q[1]["stopword_ratio"] > 0.2  # 'the' x3, 'over' not in list
+    fp = {r["doc_id"]: r for r in fingerprint(toy_docs).collect()}
+    assert fp[1]["fp_md5"] == fp[2]["fp_md5"]
+    assert fp[1]["fp_poly"] == fp[2]["fp_poly"]
+    assert fp[1]["fp_md5"] != fp[3]["fp_md5"]
+
+
+def test_lang_id_heuristic(spark):
+    from defuddle_spark.ops.textstats import lang_id
+    rows = [
+        (1, "the cat is on the table and that is fine with the dog"),
+        (2, "der hund und die katze das ist nicht ein problem mit der maus"),
+        (3, "le chat est sur la table et les livres sont pas une surprise des"),
+        (4, "el perro es una mascota que vive por los parques las calles"),
+        (5, "这是 一个 中文 文档 关于 大数据 处理 系统"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_multimodal_features_and_frames(spark):
+    from defuddle_spark.ops.multimodal import (
+        decode_image, extract_features, frame_sample, synthesize_media)
+    media = synthesize_media(spark, n=32)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 32
+    f0 = feats[0]
+    assert f0["n_bytes"] == 1024
+    assert len(f0["byte_histogram"]) == 16
+    assert sum(f0["byte_histogram"]) == f0["n_bytes"]
+    assert 0.0 < f0["byte_entropy"] <= 4.0
+    frames = frame_sample(media).groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in frames)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")  # codec stub, clearly marked
+
+
+def test_deterministic_across_runs(spark, toy_docs):
+    from defuddle_spark.ops.dedup import minhash_signatures
+    a = sorted(minhash_signatures(toy_docs).collect())
+    b = sorted(minhash_signatures(toy_docs).collect())
+    assert [r["sig"] for r in a] == [r["sig"] for r in b]

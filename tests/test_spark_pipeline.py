@@ -1,0 +1,103 @@
+"""Spark integration: synthesis round-trip, manifests/resume, routing."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_synthesis_roundtrip_byte_identical(spark):
+    """north_rule invariant: byte-identical extracted text per url."""
+    from defuddle_spark.spark.pages import synthesize_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+
+    pages = synthesize_pages(spark, SF)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    truth = pages.select("url", F.col("text").alias("expect"))
+    j = out.join(truth, "url").cache()
+    assert j.count() == 500
+    assert j.filter(F.col("extracted_text") != F.col("expect")).count() == 0
+    assert j.filter(F.col("error").isNotNull()).count() == 0
+    j.unpersist()
+
+
+def test_input_shape_is_authoritative(spark):
+    from defuddle_spark.spark.pages import pages_only, synthesize_pages
+    df = pages_only(synthesize_pages(spark, SF))
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    types = dict(df.dtypes)
+    assert types == {"url": "string", "warc_ts": "timestamp",
+                     "html": "binary", "text": "string", "lang": "string"}
+
+
+def test_resume_after_partial_failure(spark, tmp_path):
+    """Kill mid-job → rerun → no duplicate or missing urls (north_rule)."""
+    from defuddle_spark.spark.manifest import committed_buckets, run_extraction_job
+    from defuddle_spark.spark.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, SF).select("url", "html").cache()
+    n_total = pages.count()
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+
+    m1 = run_extraction_job(spark, pages, out_dir, man_dir,
+                            num_buckets=8, group_size=2, fail_after_groups=2)
+    assert m1["groups_run"] == 2
+    done_after_crash = committed_buckets(spark, man_dir)
+    assert len(done_after_crash) == 4
+
+    partial = spark.read.parquet(out_dir)
+    n_partial = partial.count()
+    assert 0 < n_partial < n_total
+
+    m2 = run_extraction_job(spark, pages, out_dir, man_dir,
+                            num_buckets=8, group_size=2)
+    assert m2["buckets_done_before"] == 4
+
+    final = spark.read.parquet(out_dir)
+    assert final.count() == n_total
+    assert final.select("url").distinct().count() == n_total  # no dupes
+    # manifest carries lineage + metrics per bucket
+    manifest = spark.read.json(man_dir)
+    assert manifest.select("bucket").distinct().count() == 8
+    assert manifest.agg(F.sum("doc_count")).head()[0] == n_total
+    for col in ("doc_count", "error_count", "content_bytes", "wall_s",
+                "kernel_version"):
+        assert col in manifest.columns
+    pages.unpersist()
+
+
+def test_routing_column_native(spark):
+    from defuddle_spark.spark.pipeline import extract_pages
+    rows = [
+        ("https://news.ycombinator.com/item?id=1",
+         b"<html><body><table class='fatitem'><tr class='athing'><td><span class='titleline'><a href='http://x'>T</a></span></td></tr></table></body></html>"),
+        ("https://example.com/post", b"<html><body><article><p>hello world</p></article></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    out = extract_pages(df).select("url", "extractor_route", "extractor_type").collect()
+    by_url = {r["url"]: r for r in out}
+    hn = by_url["https://news.ycombinator.com/item?id=1"]
+    assert hn["extractor_route"] == "hackernews"
+    assert hn["extractor_type"] == "hackernews"
+    other = by_url["https://example.com/post"]
+    assert other["extractor_route"] is None
+    assert other["extractor_type"] is None
+
+
+def test_extraction_plan_prunes_columns(spark):
+    """Column pruning must reach the scan: only url+html read, filter pushed."""
+    from defuddle_spark.spark.pages import pages_only, synthesize_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pages_only(synthesize_pages(spark, SF)).write.parquet(f"{d}/pages")
+        pages = spark.read.parquet(f"{d}/pages")
+        plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan
+        # only the two needed columns reach the scan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "url" in read_schema and "html" in read_schema
+        assert "warc_ts" not in read_schema and "lang" not in read_schema
