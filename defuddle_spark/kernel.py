@@ -36,8 +36,12 @@ RETRY_WORD_THRESHOLD = 200  # defuddle.go:141
 
 _ENTRY_SELECTORS = [compile_selector(s) for s in constants.ENTRY_POINT_ELEMENTS
                     if s != "body"]
-_EXACT_SELECTORS = [compile_selector(s) for s in constants.EXACT_SELECTORS]
+from .selectors import SelectorGroup  # noqa: E402
+
+_EXACT_GROUP = SelectorGroup(constants.EXACT_SELECTORS)
 _PARTIAL_PATTERNS = [p.lower() for p in constants.PARTIAL_SELECTORS]
+# one alternation instead of ~400 substring probes per attribute value
+_PARTIAL_RE = re.compile("|".join(re.escape(p) for p in _PARTIAL_PATTERNS))
 _META_CHARSET_RE = re.compile(
     rb'<meta[^>]+charset\s*=\s*["\']?\s*([a-zA-Z0-9_\-]+)', re.IGNORECASE)
 
@@ -161,26 +165,19 @@ def _find_content_by_scoring(doc: Document) -> Optional[Element]:
 # ---------------------------------------------------------------------------
 
 def remove_by_selector(doc: Document, remove_exact: bool, remove_partial: bool) -> None:
+    """Single-walk match-any sweep; output-equivalent to the reference's
+    ordered per-selector passes (see SelectorGroup docstring for why)."""
     root = doc.html
-    if remove_exact:
-        for sel in _EXACT_SELECTORS:
-            for el in sel.find_all(root):
-                el.remove()
-    if remove_partial:
-        to_check = list(root.descendants())
-        for el in to_check:
+    for el in list(root.descendants()):
+        if remove_exact and _EXACT_GROUP.matches(el):
+            el.remove()
+            continue
+        if remove_partial:
             for attr in constants.TEST_ATTRIBUTES:
                 value = el.get(attr)
-                if value:
-                    lower = value.lower()
-                    removed = False
-                    for pattern in _PARTIAL_PATTERNS:
-                        if pattern in lower:
-                            el.remove()
-                            removed = True
-                            break
-                    if removed:
-                        break
+                if value and _PARTIAL_RE.search(value.lower()):
+                    el.remove()
+                    break
 
 
 def remove_hidden_elements(doc: Document) -> None:
@@ -307,10 +304,11 @@ def _parse_internal(html_str: str, options: Options) -> Result:
     main_content = find_main_content(doc)
     if main_content is None:
         content = doc.body.inner_html()
+        body_text = doc.body.text()
         result = Result(
             content=content,
-            extracted_text=doc.body.text(),
-            word_count=count_words(content),
+            extracted_text=body_text,
+            word_count=len(body_text.split()),
             schema_org=json.dumps(schema_items, ensure_ascii=False, separators=(",", ":")),
             meta_tags=meta_tags,
             **{k: meta[k] for k in ("title", "description", "domain", "favicon",
@@ -333,10 +331,14 @@ def _parse_internal(html_str: str, options: Options) -> Result:
     standardize_content(main_content, meta["title"], doc, options.debug)
 
     content = main_content.inner_html()
+    extracted_text = main_content.text()
     result = Result(
         content=content,
-        extracted_text=main_content.text(),
-        word_count=count_words(content),
+        extracted_text=extracted_text,
+        # countWords(content) reparses in the reference (defuddle.go:889-896);
+        # serialize→parse→text is the identity on text content, so counting
+        # the standardized tree's text directly is output-equivalent
+        word_count=len(extracted_text.split()),
         schema_org=json.dumps(schema_items, ensure_ascii=False, separators=(",", ":")),
         meta_tags=meta_tags,
         **{k: meta[k] for k in ("title", "description", "domain", "favicon",

@@ -177,8 +177,9 @@ def get_author(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> st
     )
 
 
-def get_site(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> str:
-    """metadata.go:333-345."""
+def get_site(doc_root: Element, schema_data: Any, meta_tags: List[dict],
+             _author: Optional[str] = None) -> str:
+    """metadata.go:333-345 (author fallback precomputable by the caller)."""
     return _first(
         get_schema_property(schema_data, "publisher.name"),
         get_meta_content(meta_tags, "property", "og:site_name"),
@@ -188,11 +189,13 @@ def get_site(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> str:
         get_schema_property(schema_data, "copyrightHolder.name"),
         get_schema_property(schema_data, "isPartOf.name"),
         get_meta_content(meta_tags, "name", "application-name"),
-        get_author(doc_root, schema_data, meta_tags),
+        _author if _author is not None
+        else get_author(doc_root, schema_data, meta_tags),
     )
 
 
-def get_title(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> str:
+def get_title(doc_root: Element, schema_data: Any, meta_tags: List[dict],
+              _site: Optional[str] = None) -> str:
     """metadata.go:363-379."""
     raw = _first(
         get_meta_content(meta_tags, "property", "og:title"),
@@ -205,7 +208,8 @@ def get_title(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> str
         title_el = find_first(doc_root, "title")
         if title_el is not None:
             raw = title_el.text().strip()
-    return _clean_title(raw, get_site(doc_root, schema_data, meta_tags))
+    site = _site if _site is not None else get_site(doc_root, schema_data, meta_tags)
+    return _clean_title(raw, site)
 
 
 def get_description(schema_data: Any, meta_tags: List[dict]) -> str:
@@ -302,13 +306,15 @@ def extract(doc_root: Element, schema_data: Any, meta_tags: List[dict],
             document_url = base_tag.get("href") or ""
             domain = _domain_from_url(document_url)
 
+    author = get_author(doc_root, schema_data, meta_tags)
+    site = get_site(doc_root, schema_data, meta_tags, _author=author)
     return {
-        "title": get_title(doc_root, schema_data, meta_tags),
+        "title": get_title(doc_root, schema_data, meta_tags, _site=site),
         "description": get_description(schema_data, meta_tags),
         "domain": domain,
         "favicon": get_favicon(doc_root, document_url, meta_tags),
         "image": get_image(schema_data, meta_tags),
         "published": get_published(doc_root, schema_data, meta_tags),
-        "author": get_author(doc_root, schema_data, meta_tags),
-        "site": get_site(doc_root, schema_data, meta_tags),
+        "author": author,
+        "site": site,
     }

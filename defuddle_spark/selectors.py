@@ -240,6 +240,58 @@ def compile_selector(sel: str) -> Selector:
     return Selector(_parse(sel), sel)
 
 
+class SelectorGroup:
+    """Match-any over many selectors in one pass, with a tag/attr index.
+
+    Valid for pure-removal sweeps: every chain's match depends only on the
+    element itself and its ancestors, and removals only ever detach
+    subtrees, so "remove all matches of S1, then all of S2, ..." yields the
+    same attached tree as one walk removing any(S_i) — an element whose
+    required ancestor was already detached is itself detached. This turns
+    the reference's per-selector sweeps (defuddle.go:780-787, ~150 walks)
+    into a single walk without changing output.
+    """
+
+    __slots__ = ("by_tag", "universal_attr", "universal_always")
+
+    def __init__(self, selectors: Iterable[str]) -> None:
+        self.by_tag: dict = {}
+        self.universal_attr: List[Tuple[frozenset, Chain]] = []
+        self.universal_always: List[Chain] = []
+        for s in selectors:
+            for chain in compile_selector(s).chains:
+                head = chain.steps[0][0]
+                if head.tag is not None and head.tag != "*":
+                    self.by_tag.setdefault(head.tag, []).append(chain)
+                    continue
+                required = set()
+                if head.sid is not None:
+                    required.add("id")
+                if head.classes:
+                    required.add("class")
+                for name, _op, _val, _ci in head.attrs:
+                    required.add(name)
+                if required:
+                    self.universal_attr.append((frozenset(required), chain))
+                else:
+                    self.universal_always.append(chain)
+
+    def matches(self, el: Element) -> bool:
+        for chain in self.by_tag.get(el.tag, ()):
+            if chain.match(el):
+                return True
+        if self.universal_attr:
+            names = {k for k, _ in el.attrs}
+            if names:
+                for required, chain in self.universal_attr:
+                    if required <= names and chain.match(el):
+                        return True
+        for chain in self.universal_always:
+            if chain.match(el):
+                return True
+        return False
+
+
 def find_all(root: Element, sel: str) -> List[Element]:
     return compile_selector(sel).find_all(root)
 
