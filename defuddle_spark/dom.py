@@ -416,15 +416,30 @@ class _TreeBuilder(HTMLParser):
             self.html.append(self.body)
             self.stack = [self.head]
             self.body_started = False
+        # parallel to self.stack: is the element inside an <svg> subtree?
+        # (kept as a list so deep documents stay O(n), not O(n^2))
+        self.svg_flags = [False]
 
     # -- helpers --
     def _cur(self) -> Element:
         return self.stack[-1]
 
+    def _push(self, el: Element) -> None:
+        self.svg_flags.append(self.svg_flags[-1] or el.tag == "svg")
+        self.stack.append(el)
+
+    def _truncate(self, i: int) -> None:
+        del self.stack[i:]
+        del self.svg_flags[i:]
+        if not self.stack:
+            self.stack = [self.body if not self.fragment else self.root]
+            self.svg_flags = [False]
+
     def _start_body(self) -> None:
         if not self.body_started:
             self.body_started = True
             self.stack = [self.body]
+            self.svg_flags = [False]
 
     def _implied_close(self, tag: str) -> None:
         # close <p> when a p-closing block opens
@@ -432,9 +447,7 @@ class _TreeBuilder(HTMLParser):
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t == "p":
-                    del self.stack[i:]
-                    if not self.stack:
-                        self.stack = [self.body if not self.fragment else self.root]
+                    self._truncate(i)
                     return
                 if t in ("div", "td", "th", "li", "body", "#fragment", "table",
                          "section", "article", "main", "blockquote"):
@@ -444,9 +457,7 @@ class _TreeBuilder(HTMLParser):
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t in closers:
-                    del self.stack[i:]
-                    if not self.stack:
-                        self.stack = [self.body if not self.fragment else self.root]
+                    self._truncate(i)
                     return
                 if t in ("table", "ul", "ol", "dl", "select", "body", "#fragment",
                          "tbody", "thead", "tfoot", "tr") and t not in closers:
@@ -480,22 +491,20 @@ class _TreeBuilder(HTMLParser):
         if tag == "tr" and self._cur().tag == "table":
             tbody = Element("tbody")
             self._cur().append(tbody)
-            self.stack.append(tbody)
+            self._push(tbody)
         elif tag in ("td", "th") and self._cur().tag == "table":
             tbody = Element("tbody")
             self._cur().append(tbody)
-            self.stack.append(tbody)
+            self._push(tbody)
             tr = Element("tr")
             tbody.append(tr)
-            self.stack.append(tr)
+            self._push(tr)
         elif tag in ("td", "th") and self._cur().tag in ("tbody", "thead", "tfoot"):
             tr = Element("tr")
             self._cur().append(tr)
-            self.stack.append(tr)
+            self._push(tr)
 
-        in_svg = tag == "svg" or any(
-            e.tag == "svg" or e.tag in _SVG_TAG_ADJUST.values() for e in self.stack
-            if e.type == ELEMENT)
+        in_svg = tag == "svg" or self.svg_flags[-1]
         if in_svg and tag in _SVG_TAG_ADJUST:
             tag = _SVG_TAG_ADJUST[tag]
 
@@ -512,7 +521,7 @@ class _TreeBuilder(HTMLParser):
         el = Element(tag, attr_pairs)
         self._cur().append(el)
         if tag not in VOID_ELEMENTS:
-            self.stack.append(el)
+            self._push(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         tag = tag.lower()
@@ -534,9 +543,7 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
             if t == tag or (adjusted is not None and t == adjusted):
-                del self.stack[i:]
-                if not self.stack:
-                    self.stack = [self.body if not self.fragment else self.root]
+                self._truncate(i)
                 return
         # no matching open tag: ignore
 

@@ -54,12 +54,14 @@ class Options:
     remove_partial_selectors: bool = True
     remove_images: bool = False
     markdown: bool = False
+    separate_markdown: bool = False
     debug: bool = False
 
 
 @dataclass
 class Result:
     content: str = ""
+    content_markdown: Optional[str] = None
     extracted_text: str = ""
     title: str = ""
     description: str = ""
@@ -295,6 +297,7 @@ def _parse_internal(html_str: str, options: Options) -> Result:
             meta_tags=meta_tags,
         )
         result.extracted_text = parse(extracted.content_html).html.text()
+        _maybe_markdown(result, options)
         result.parse_time_ms = int((time.monotonic() - start) * 1000)
         return result
 
@@ -344,8 +347,21 @@ def _parse_internal(html_str: str, options: Options) -> Result:
         **{k: meta[k] for k in ("title", "description", "domain", "favicon",
                                 "image", "published", "author", "site")},
     )
+    _maybe_markdown(result, options)
     result.parse_time_ms = int((time.monotonic() - start) * 1000)
     return result
+
+
+def _maybe_markdown(result: Result, options: Options) -> None:
+    """defuddle.go:476-482, 570-577 — ContentMarkdown set when either flag
+    is on; conversion errors are swallowed (content stays HTML)."""
+    if not (options.markdown or options.separate_markdown):
+        return
+    from .markdown import MarkdownError, convert_html
+    try:
+        result.content_markdown = convert_html(result.content)
+    except (MarkdownError, RecursionError):
+        result.content_markdown = None
 
 
 def extract_document(html_str: str, url: str = "",
@@ -362,6 +378,8 @@ def extract_document(html_str: str, url: str = "",
                 remove_exact_selectors=options.remove_exact_selectors,
                 remove_partial_selectors=False,
                 remove_images=options.remove_images,
+                markdown=options.markdown,
+                separate_markdown=options.separate_markdown,
                 debug=options.debug,
             )
             retry = _parse_internal(html_str, retry_opts)
