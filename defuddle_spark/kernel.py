@@ -56,6 +56,17 @@ class Options:
     markdown: bool = False
     separate_markdown: bool = False
     debug: bool = False
+    # Optional element processors (E1-E6). The reference defines these
+    # options but its Parse never consults them (SPECS/40 "Explicit Gap
+    # Contracts"); for fixture parity they default OFF. When enabled they
+    # run on the working document after standardization (TS rule order:
+    # math, code, headings, images, then footnotes, roles).
+    process_code: bool = False
+    process_images: bool = False
+    process_headings: bool = False
+    process_math: bool = False
+    process_footnotes: bool = False
+    process_roles: bool = False
 
 
 @dataclass
@@ -331,6 +342,12 @@ def _parse_internal(html_str: str, options: Options) -> Result:
         remove_by_selector(doc, options.remove_exact_selectors,
                            options.remove_partial_selectors)
 
+    # Opt-in E1-E6 processors run before standardization: in the TS original
+    # their rules are part of ELEMENT_STANDARDIZATION_RULES (mathRules,
+    # codeBlockRules, headingRules, imageRules precede the role rules inside
+    # standardizeElements), so they must see the pre-standardized tree.
+    _apply_element_processors(doc, options)
+
     standardize_content(main_content, meta["title"], doc, options.debug)
 
     content = main_content.inner_html()
@@ -350,6 +367,27 @@ def _parse_internal(html_str: str, options: Options) -> Result:
     _maybe_markdown(result, options)
     result.parse_time_ms = int((time.monotonic() - start) * 1000)
     return result
+
+
+def _apply_element_processors(doc: Document, options: Options) -> None:
+    """Opt-in E1-E6 stages (see Options docstring; all default off)."""
+    if not (options.process_math or options.process_code
+            or options.process_headings or options.process_images
+            or options.process_footnotes or options.process_roles):
+        return
+    from . import elements
+    if options.process_math:
+        elements.process_math(doc)
+    if options.process_code:
+        elements.process_code_blocks(doc)
+    if options.process_headings:
+        elements.process_headings(doc)
+    if options.process_images:
+        elements.process_images(doc)
+    if options.process_footnotes:
+        elements.process_footnotes(doc)
+    if options.process_roles:
+        elements.process_roles(doc)
 
 
 def _maybe_markdown(result: Result, options: Options) -> None:
@@ -373,15 +411,9 @@ def extract_document(html_str: str, url: str = "",
     try:
         result = _parse_internal(html_str, options)
         if result.word_count < RETRY_WORD_THRESHOLD:
-            retry_opts = Options(
-                url=options.url,
-                remove_exact_selectors=options.remove_exact_selectors,
-                remove_partial_selectors=False,
-                remove_images=options.remove_images,
-                markdown=options.markdown,
-                separate_markdown=options.separate_markdown,
-                debug=options.debug,
-            )
+            import dataclasses
+            retry_opts = dataclasses.replace(
+                options, remove_partial_selectors=False)
             retry = _parse_internal(html_str, retry_opts)
             if retry.word_count > result.word_count:
                 retry.retry_used = True
