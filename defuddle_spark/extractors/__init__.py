@@ -1,10 +1,15 @@
 """Site-specific extractor registry.
 
-Mirrors /root/reference/extractors/registry.go:116-173 (URL-pattern
-dispatch, first match wins) and base.go:10-105 (ExtractorResult /
-interface). In the Spark job the routing decision is *also* precomputed
-as a native `rlike` column so DataFrame-level stats/partitioning can see
-it; the kernel does the actual extraction.
+Mirrors /root/reference/extractors/registry.go:116-173 — dispatch by URL,
+first registered extractor whose patterns match wins. String patterns
+match the url's domain (exact / dot-suffix / contains,
+registry.go:152-163); regex patterns match the full URL. Built-ins are
+registered in the reference's order (registry.go:210-359): Twitter,
+YouTube, Reddit, HackerNews, ChatGPT, Claude, Grok, Gemini, GitHub.
+
+In the Spark job the routing decision is also precomputed as a native
+`rlike` column for DataFrame-level stats/partitioning; the kernel's
+dispatch here is authoritative.
 """
 
 from __future__ import annotations
@@ -12,6 +17,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
+from urllib.parse import urlparse
 
 from ..dom import Document
 
@@ -43,34 +49,77 @@ class BaseExtractor:
         return type(self).__name__.removesuffix("Extractor")
 
 
-# Registry: (compiled url patterns, extractor class) — first match wins
-# (registry.go:13-26, 210-359). Patterns are matched against the full URL.
+# Registry entries: (domain_patterns, url_regexes, cls) — first match wins
 _REGISTRY: List[tuple] = []
 
 
-def register(patterns: List[str], cls) -> None:
-    _REGISTRY.append(([re.compile(p, re.IGNORECASE) for p in patterns], cls))
+def register(cls, domains: Optional[List[str]] = None,
+             url_patterns: Optional[List[str]] = None) -> None:
+    _REGISTRY.append((
+        tuple(domains or ()),
+        tuple(re.compile(p, re.IGNORECASE) for p in (url_patterns or ())),
+        cls,
+    ))
 
 
 def url_patterns() -> List[tuple]:
-    """(pattern_source, extractor_name) pairs for DataFrame-side routing."""
+    """(regex_source, extractor_name) pairs for DataFrame-side routing."""
     out = []
-    for patterns, cls in _REGISTRY:
-        for p in patterns:
-            out.append((p.pattern, cls.__name__.removesuffix("Extractor").lower()))
+    for domains, regexes, cls in _REGISTRY:
+        name = cls.__name__.removesuffix("Extractor").lower()
+        for d in domains:
+            out.append((r"https?://([^/]*\.)?" + re.escape(d), name))
+        for p in regexes:
+            out.append((p.pattern, name))
     return out
 
 
-def find_extractor(doc: Document, url: str, schema_org_data: Any = None) -> Optional[BaseExtractor]:
-    """registry.go:116-173 — first extractor whose pattern matches the URL."""
+def _matches(url: str, domain: str, domains: tuple, regexes: tuple) -> bool:
+    """registry.go:152-173."""
+    for p in domains:
+        if domain == p or domain.endswith("." + p) or p in domain:
+            return True
+    return any(rx.search(url) for rx in regexes)
+
+
+def find_extractor(doc: Document, url: str,
+                   schema_org_data: Any = None) -> Optional[BaseExtractor]:
+    """registry.go:116-147 — first extractor whose patterns match the URL."""
     if not url:
         return None
-    for patterns, cls in _REGISTRY:
-        for pattern in patterns:
-            if pattern.search(url):
-                return cls(doc, url, schema_org_data)
+    try:
+        domain = urlparse(url).hostname or ""
+    except ValueError:
+        domain = ""
+    for domains, regexes, cls in _REGISTRY:
+        if _matches(url, domain, domains, regexes):
+            return cls(doc, url, schema_org_data)
     return None
 
 
-# Built-in extractors are registered on import (kept in submodules).
-from . import hackernews  # noqa: E402,F401
+# Built-ins, registered in the reference's order (registry.go:210-359)
+from .social import (GitHubExtractor, RedditExtractor, TwitterExtractor,  # noqa: E402
+                     YouTubeExtractor)
+from .hackernews import HackerNewsExtractor  # noqa: E402
+from .ai_chats import (ChatGPTExtractor, ClaudeExtractor, GeminiExtractor,  # noqa: E402
+                       GrokExtractor)
+
+register(TwitterExtractor, domains=["twitter.com", "x.com"],
+         url_patterns=[r"twitter\.com/.*/status/.*", r"x\.com/.*/status/.*"])
+register(YouTubeExtractor, domains=["youtube.com", "youtu.be"],
+         url_patterns=[r"youtube\.com/watch\?v=.*", r"youtu\.be/.*"])
+register(RedditExtractor,
+         domains=["reddit.com", "old.reddit.com", "new.reddit.com"],
+         url_patterns=[r"reddit\.com/r/.*/comments/.*"])
+register(HackerNewsExtractor,
+         url_patterns=[r"news\.ycombinator\.com/item\?id=.*"])
+register(ChatGPTExtractor,
+         url_patterns=[r"^https?://chatgpt\.com/(c|share)/.*"])
+register(ClaudeExtractor,
+         url_patterns=[r"^https?://claude\.ai/(chat|share)/.*"])
+register(GrokExtractor, domains=["grok.x.ai", "x.ai"],
+         url_patterns=[r"^https?://grok\.x\.ai.*", r"^https?://x\.ai.*"])
+register(GeminiExtractor, domains=["gemini.google.com"],
+         url_patterns=[r"^https?://gemini\.google\.com/.*"])
+register(GitHubExtractor, domains=["github.com"],
+         url_patterns=[r"^https?://github\.com/.*/(issues|pull)/.*"])

@@ -19,7 +19,7 @@ from typing import Optional
 
 from ..dom import Document, Element
 from ..selectors import find_all, find_first
-from . import BaseExtractor, ExtractorResult, register
+from . import BaseExtractor, ExtractorResult
 
 _POST_ID_RE = re.compile(r"id=(\d+)")
 
@@ -216,6 +216,3 @@ class HackerNewsExtractor(BaseExtractor):
                 "published": self._get_post_date(),
             },
         )
-
-
-register([r"news\.ycombinator\.com/item\?id=.*"], HackerNewsExtractor)
