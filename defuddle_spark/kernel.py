@@ -119,6 +119,28 @@ def decode_html(data: bytes) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Mobile styles (R1 — defuddle.go:1291-1339)
+# ---------------------------------------------------------------------------
+
+def evaluate_media_queries(doc: Document) -> list:
+    """defuddle.go:1291-1296 — faithful stub: the Go reference returns nil
+    (CSS media-query evaluation is a browser-only feature; documented gap
+    in SPECS/40 'Explicit Gap Contracts')."""
+    return []
+
+
+def apply_mobile_styles(doc: Document, mobile_styles: list) -> None:
+    """defuddle.go:1324-1339 — append matched styles to inline style attrs.
+
+    ``mobile_styles``: [(selector, styles_css_text)].
+    """
+    for selector, styles in mobile_styles:
+        for el in find_all(doc.html, selector):
+            existing = el.get("style") or ""
+            el.set_attr("style", existing + styles)
+
+
+# ---------------------------------------------------------------------------
 # Meta tags (defuddle.go:1190-1213)
 # ---------------------------------------------------------------------------
 
@@ -312,8 +334,11 @@ def _parse_internal(html_str: str, options: Options) -> Result:
         result.parse_time_ms = int((time.monotonic() - start) * 1000)
         return result
 
-    # findSmallImages runs on the document before main-content selection
+    # defuddle.go:495-505 order: evaluate media queries (stubbed per the
+    # reference), find small images on the original doc, apply mobile styles
+    mobile_styles = evaluate_media_queries(doc)
     small_images = find_small_images(doc)
+    apply_mobile_styles(doc, mobile_styles)
 
     main_content = find_main_content(doc)
     if main_content is None:
