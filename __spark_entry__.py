@@ -92,6 +92,17 @@ def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "n_docs", "sum_words", "avg_words"))
 
 
+def q_extract_hackernews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor routing through the driver gate: synthesized HN item pages
+    → HackerNews extractor; every output column predictable in SQL."""
+    from defuddle_spark.spark.pages import synthesize_hn_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_hn_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    return out.select("url", "title", "author", "site", "published", "domain",
+                      "extractor_type", "extracted_text", "word_count")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.dedup import dedup_exact
     return dedup_exact(_docs_doubled(spark, sf_dir))
@@ -154,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": q_extract_metadata,
         "extract_flatten": q_extract_flatten,
         "extract_lang_stats": q_extract_lang_stats,
+        "extract_hackernews": q_extract_hackernews,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
@@ -203,6 +215,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(len({_TOKENS})) AS sum_words,
                    round(avg(len({_TOKENS})), 4) AS avg_words
             FROM documents GROUP BY lang
+        """,
+        "extract_hackernews": f"""
+            SELECT 'https://news.ycombinator.com/item?id=' || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title,
+                   'user' || CAST(doc_id % 50 AS VARCHAR) AS author,
+                   'Hacker News' AS site,
+                   '2024-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS published,
+                   'news.ycombinator.com' AS domain,
+                   'hackernews' AS extractor_type,
+                   'https://articles.example.test/' || source || '/' || CAST(doc_id AS VARCHAR) || text AS extracted_text,
+                   {_WC} AS word_count
+            FROM documents
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS INTEGER) AS dup_count

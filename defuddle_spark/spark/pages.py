@@ -123,3 +123,45 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
 def pages_only(df: DataFrame) -> DataFrame:
     """Project to the authoritative 5-column input shape."""
     return df.select(*PAGES_COLUMNS)
+
+
+def synthesize_hn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hacker News item pages (extractor-routing archetype, FIXTURES.md #13).
+
+    Deterministic from `documents`; the HN extractor's output is predictable
+    in SQL: content wraps the article url + text, title is the titleline,
+    author/date come from subtext. Used by the `extract_hackernews` oracle
+    query.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://news.ycombinator.com/item?id="),
+                   F.col("doc_id").cast("string"))
+    article_url = F.concat(F.lit("https://articles.example.test/"),
+                           F.col("source"), F.lit("/"),
+                           F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    author = F.concat(F.lit("user"), (F.col("doc_id") % 50).cast("string"))
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit(" | Hacker News</title></head><body>"),
+        F.lit('<table class="fatitem"><tr class="athing" id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><td class="title"><span class="titleline"><a href="'), article_url,
+        F.lit('">'), title, F.lit("</a></span></td></tr>"),
+        F.lit('<tr><td class="subtext"><span class="score">'),
+        (F.col("doc_id") % 500 + 1).cast("string"),
+        F.lit(' points</span> by <a class="hnuser">'), author,
+        F.lit('</a> <span class="age" title="2024-02-0'),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit('T12:00:00"></span></td></tr>'),
+        F.lit('<tr><td><div class="toptext"><p>'), F.col("text"),
+        F.lit("</p></div></td></tr></table></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1706745600) + F.col("doc_id"))
+    return docs.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )

@@ -1,0 +1,59 @@
+"""Property-based hardening (hypothesis): the serializer/parser round-trip
+is a fixpoint, text survives transport, and the kernel never raises on
+arbitrary byte/string inputs (per-doc failure isolation at corpus scale)."""
+
+from hypothesis import given, settings, strategies as st
+
+from defuddle_spark.dom import parse
+from defuddle_spark.kernel import extract_document, extract_document_bytes
+
+# text without raw '<' or '&' (those legitimately change shape on reparse)
+_plain = st.text(
+    alphabet=st.characters(blacklist_characters="<&",
+                           blacklist_categories=("Cs",)),
+    max_size=200)
+
+_tags = st.sampled_from(["div", "p", "span", "article", "section", "em", "b",
+                         "ul", "li", "table", "td", "pre", "h1", "h2"])
+
+
+@st.composite
+def html_fragments(draw, depth=0):
+    if depth > 3 or draw(st.booleans()):
+        return draw(_plain)
+    tag = draw(_tags)
+    inner = "".join(draw(st.lists(html_fragments(depth=depth + 1), max_size=3)))
+    attr = draw(st.sampled_from(["", ' class="a b"', ' id="x1"', ' data-k="v"']))
+    return f"<{tag}{attr}>{inner}</{tag}>"
+
+
+@given(html_fragments())
+@settings(max_examples=150, deadline=None)
+def test_serialize_parse_fixpoint(fragment):
+    html = f"<html><body>{fragment}</body></html>"
+    once = parse(html).body.inner_html()
+    twice = parse(f"<html><body>{once}</body></html>").body.inner_html()
+    assert once == twice
+
+
+@given(_plain)
+@settings(max_examples=150, deadline=None)
+def test_text_survives_transport(text):
+    doc = parse(f"<html><body><p>{text}</p></body></html>")
+    # html.parser collapses char refs; plain text must come back intact
+    # modulo the parser's whitespace handling of pure-control strings
+    assert doc.body.text().strip() == text.strip() or text.strip() == ""
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_kernel_never_raises_on_text(s)  :
+    r = extract_document(s, url="https://fuzz.test/x")
+    assert r is not None
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_kernel_never_raises_on_bytes(b):
+    r = extract_document_bytes(b, url="https://fuzz.test/x")
+    assert r is not None
