@@ -12,8 +12,8 @@ import re
 from typing import List, Optional
 
 from . import constants
-from .dom import Element
-from .selectors import compile_selector
+from .dom import ELEMENT, TEXT, Element
+from .selectors import SelectorGroup, compile_selector
 
 # scorer.go:20-21
 DATE_RE = re.compile(
@@ -51,30 +51,68 @@ NON_CONTENT_PATTERNS = (
 
 _FOOTNOTE_INLINE = [compile_selector(s) for s in constants.FOOTNOTE_INLINE_REFERENCES]
 _FOOTNOTE_LISTS = [compile_selector(s) for s in constants.FOOTNOTE_LIST_SELECTORS]
+# match-any groups: "does any descendant match one of these" is
+# order-independent, so one indexed walk replaces 15/21 find_first sweeps
+_FOOTNOTE_INLINE_GROUP = SelectorGroup(constants.FOOTNOTE_INLINE_REFERENCES)
+_FOOTNOTE_LISTS_GROUP = SelectorGroup(constants.FOOTNOTE_LIST_SELECTORS)
 
 
-def _count_tags(el: Element, tags: tuple) -> dict:
-    counts = {t: 0 for t in tags}
-    for d in el.descendants():
-        if d.tag in counts:
-            counts[d.tag] += 1
-    return counts
+class _SubtreeStats:
+    """One walk over a subtree: text, tag counts, footnote-selector hits."""
+
+    __slots__ = ("words", "p", "a", "img", "table", "lists", "has_inline_fn",
+                 "has_list_fn", "text")
+
+    def __init__(self, el: Element, want_footnotes: bool = True) -> None:
+        parts = []
+        p = a = img = table = lists = 0
+        has_inline = has_list = False
+        stack = list(reversed(el.children))
+        while stack:
+            node = stack.pop()
+            t = node.type
+            if t == TEXT:
+                parts.append(node.data)
+                continue
+            if t != ELEMENT:
+                continue
+            tag = node.tag
+            if tag == "p":
+                p += 1
+            elif tag == "a":
+                a += 1
+            elif tag == "img":
+                img += 1
+            elif tag == "table":
+                table += 1
+            elif tag in ("ul", "ol"):
+                lists += 1
+            if want_footnotes:
+                if not has_inline and _FOOTNOTE_INLINE_GROUP.matches(node):
+                    has_inline = True
+                if not has_list and _FOOTNOTE_LISTS_GROUP.matches(node):
+                    has_list = True
+            stack.extend(reversed(node.children))
+        self.text = "".join(parts)
+        self.words = len(self.text.split())
+        self.p, self.a, self.img, self.table, self.lists = p, a, img, table, lists
+        self.has_inline_fn, self.has_list_fn = has_inline, has_list
 
 
 def score_element(el: Element) -> float:
     """scorer.go:325-434."""
     score = 0.0
 
-    text = el.text().strip()
-    words = len(text.split())
+    stats = _SubtreeStats(el)
+    text = stats.text.strip()
+    words = stats.words
     score += words
 
-    counts = _count_tags(el, ("p", "a", "img", "table"))
-    score += counts["p"] * 10
+    score += stats.p * 10
 
     denom = max(words, 1)
-    score -= (counts["a"] / denom) * 5
-    score -= (counts["img"] / denom) * 3
+    score -= (stats.a / denom) * 5
+    score -= (stats.img / denom) * 3
 
     style = el.get("style", "") or ""
     align = el.get("align", "") or ""
@@ -90,16 +128,12 @@ def score_element(el: Element) -> float:
     if "content" in class_name or "article" in class_name or "post" in class_name:
         score += 15
 
-    for sel in _FOOTNOTE_INLINE:
-        if sel.find_first(el) is not None:
-            score += 10
-            break
-    for sel in _FOOTNOTE_LISTS:
-        if sel.find_first(el) is not None:
-            score += 10
-            break
+    if stats.has_inline_fn:
+        score += 10
+    if stats.has_list_fn:
+        score += 10
 
-    score -= counts["table"] * 5
+    score -= stats.table * 5
 
     if el.tag == "td":
         parent_table = el.closest("table")
@@ -141,7 +175,7 @@ def find_best_element(elements: List[Element], min_score: float = 50.0) -> Optio
     return best if best_score > min_score else None
 
 
-def is_likely_content(el: Element) -> bool:
+def is_likely_content(el: Element, stats: "_SubtreeStats" = None) -> bool:
     """scorer.go:600-625."""
     role = el.get("role", "") or ""
     if role in CONTENT_ROLES:
@@ -153,21 +187,23 @@ def is_likely_content(el: Element) -> bool:
         if ind in class_name or ind in el_id:
             return True
 
-    text = el.text().strip()
-    words = len(text.split())
-    paragraphs = sum(1 for d in el.descendants() if d.tag == "p")
+    if stats is None:
+        stats = _SubtreeStats(el, want_footnotes=False)
+    words = stats.words
+    paragraphs = stats.p
     return words > 100 or (words > 50 and paragraphs > 1) or (words > 30 and paragraphs > 0)
 
 
-def score_non_content_block(el: Element) -> float:
+def score_non_content_block(el: Element, stats: "_SubtreeStats" = None) -> float:
     """scorer.go:678-730."""
-    for sel in _FOOTNOTE_LISTS:
-        if sel.find_first(el) is not None:
-            return 0.0
+    if stats is None:
+        stats = _SubtreeStats(el)
+    if stats.has_list_fn:
+        return 0.0
 
     score = 0.0
-    text = el.text().strip()
-    words = len(text.split())
+    text = stats.text.strip()
+    words = stats.words
     if words < 3:
         return 0.0
 
@@ -176,11 +212,11 @@ def score_non_content_block(el: Element) -> float:
         if ind in lower_text:
             score -= 10
 
-    links = sum(1 for d in el.descendants() if d.tag == "a")
+    links = stats.a
     if links / max(words, 1) > 0.5:
         score -= 15
 
-    lists = sum(1 for d in el.descendants() if d.tag in ("ul", "ol"))
+    lists = stats.lists
     if lists > 0 and links > lists * 3:
         score -= 10
 
@@ -199,9 +235,10 @@ def score_and_remove(root: Element) -> int:
     for el in root.descendants():
         if el.tag not in constants.BLOCK_ELEMENTS_SET:
             continue
-        if is_likely_content(el):
+        stats = _SubtreeStats(el)
+        if is_likely_content(el, stats):
             continue
-        if score_non_content_block(el) < 0:
+        if score_non_content_block(el, stats) < 0:
             to_remove.append(el)
     for el in to_remove:
         el.remove()
