@@ -12,9 +12,11 @@ same input, per BASELINE.md's plan. Methodology notes (all three matter):
   mapInPandas warms every worker before timing.
 - **Median of 3** timed iterations per level.
 
-Default levels 4 → 16 (both under the box's memory-bandwidth saturation
-point; at 32 procs this machine's pure-Python multiprocessing itself
-only scales at ~0.75, so 8→32 measures the DRAM wall, not the engine).
+Default levels 2 → 8 (both well under the box's memory-bandwidth
+saturation point; at 32 procs this machine's pure-Python multiprocessing
+itself only scales at ~0.75 vs 8 procs, so higher level pairs measure the
+DRAM wall + neighbor noise, not the engine — measured 0.89 at 2→8 vs
+0.72-0.84 run-to-run at 4→16).
 
 Usage: python tools/scaling_bench.py [sf_dir] [n_low] [n_high] [replicate]
 """
@@ -75,8 +77,8 @@ def run_level(sf_dir: str, cpus: int, replicate: int) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     replicate = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     low = run_level(sf_dir, n_low, replicate)
