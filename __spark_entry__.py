@@ -154,6 +154,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(x) for x in query], k=10)
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.events import windowed_counts
+    return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.events import sessionize
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.multimodal import extract_features, synthesize_media
     return extract_features(synthesize_media(spark, n=256))
@@ -172,6 +182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
         # rows-only (probabilistic / hash-seeded, not ANSI-SQL-expressible):
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -309,6 +321,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es > m2 THEN 'es'
                         ELSE l2 END AS pred_lang
             FROM fold2
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > 30 * 60 THEN 1 ELSE 0 END AS gap_break
+                FROM events
+            ), sessions AS (
+                SELECT user_id,
+                       sum(gap_break) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM gaps
+            ), per_session AS (
+                SELECT user_id, session_id, count(*) AS session_events
+                FROM sessions GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(count(*) AS INTEGER) AS n_sessions,
+                   sum(session_events) AS n_events,
+                   max(session_events) AS longest_session_events
+            FROM per_session GROUP BY user_id
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

@@ -143,3 +143,24 @@ def test_deterministic_across_runs(spark, toy_docs):
     a = sorted(minhash_signatures(toy_docs).collect())
     b = sorted(minhash_signatures(toy_docs).collect())
     assert [r["sig"] for r in a] == [r["sig"] for r in b]
+
+
+def test_events_sessionize_gap_logic(spark):
+    import datetime as dt
+    from defuddle_spark.ops.events import sessionize, windowed_counts
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=50), 1, "view", 1.0, "{}"),   # >30m gap → new session
+        (4, base, 2, "click", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    out = {r["user_id"]: r for r in sessionize(events).collect()}
+    assert out[1]["n_sessions"] == 2
+    assert out[1]["n_events"] == 3
+    assert out[1]["longest_session_events"] == 2
+    assert out[2]["n_sessions"] == 1
+    w = windowed_counts(events).collect()
+    assert sum(r["n_events"] for r in w) == 4
