@@ -154,6 +154,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(x) for x in query], k=10)
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.relational import tpch_q1
+    return tpch_q1(spark, sf_dir)
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.relational import tpch_q3
+    return tpch_q3(spark, sf_dir)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.relational import tpch_q5
+    return tpch_q5(spark, sf_dir)
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.events import windowed_counts
     return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -182,6 +197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         # rows-only (probabilistic / hash-seeded, not ANSI-SQL-expressible):
@@ -321,6 +339,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es > m2 THEN 'es'
                         ELSE l2 END AS pred_lang
             FROM fold2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
+                   sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(30,8))::DOUBLE AS sum_disc_price,
+                   round(sum(l_quantity::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_qty,
+                   round(sum(l_discount::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(30,8))::DOUBLE AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   sum((l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(30,8))::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
