@@ -94,20 +94,45 @@ def routing_column() -> F.Column:
 def extract_pages(pages: DataFrame,
                   salt_partitions: Optional[int] = None,
                   remove_images: bool = False,
-                  with_routing_column: bool = True) -> DataFrame:
+                  with_routing_column: bool = True,
+                  giant_threshold_bytes: Optional[int] = None,
+                  giant_arrow_batch_rows: int = 4) -> DataFrame:
     """Run the extraction kernel over a pages DataFrame.
 
     Input must carry (url string, html binary); extra columns are pruned
     (column pruning reaches the parquet scan — only url+html are read).
+
+    Skew defenses (SURVEY.md §4.2, north_rule "skew handled explicitly"):
+    - ``salt_partitions``: repartition on xxhash64(url) so giant docs
+      scatter instead of clustering in a url-range;
+    - ``giant_threshold_bytes``: two-tier split — pages above the
+      threshold (heavy-tailed CC reality: multi-MB blobs that take
+      100x median kernel time) run through a dedicated pass repartitioned
+      one-doc-per-task-ish with tiny Arrow batches, so a handful of
+      monsters can't straggle the main wave. Output is unionByName'd;
+      per-url results are identical either way.
     """
     df = pages.select("url", "html").filter(
         F.col("html").isNotNull() & (F.length(F.col("html")) > 0))
-    if salt_partitions:
-        df = df.repartition(salt_partitions, F.xxhash64(F.col("url")))
-    result = df.mapInPandas(
-        lambda it: _extract_batches(it, remove_images=remove_images),
-        schema=RESULT_SCHEMA,
-    )
+
+    def _run(part: DataFrame) -> DataFrame:
+        return part.mapInPandas(
+            lambda it: _extract_batches(it, remove_images=remove_images),
+            schema=RESULT_SCHEMA,
+        )
+
+    if giant_threshold_bytes:
+        small = df.filter(F.length("html") <= giant_threshold_bytes)
+        giant = df.filter(F.length("html") > giant_threshold_bytes)
+        if salt_partitions:
+            small = small.repartition(salt_partitions, F.xxhash64(F.col("url")))
+        # scatter giants maximally; AQE re-coalesces empty partitions
+        giant = giant.repartition(F.xxhash64(F.col("url")))
+        result = _run(small).unionByName(_run(giant))
+    else:
+        if salt_partitions:
+            df = df.repartition(salt_partitions, F.xxhash64(F.col("url")))
+        result = _run(df)
     if with_routing_column:
         result = result.withColumn("extractor_route", routing_column())
     return result

@@ -101,3 +101,28 @@ def test_extraction_plan_prunes_columns(spark):
         read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
         assert "url" in read_schema and "html" in read_schema
         assert "warc_ts" not in read_schema and "lang" not in read_schema
+
+
+def test_size_tiered_giant_routing(spark):
+    """Two-tier skew split produces identical per-url results (FIXTURES #16)."""
+    from defuddle_spark.spark.pages import synthesize_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+
+    pages = synthesize_pages(spark, SF).select("url", "html").limit(60)
+    # make a few pages 'giant' by padding with a huge comment blob
+    pages = pages.withColumn(
+        "html",
+        F.when(F.xxhash64("url") % 10 == 0,
+               F.concat(F.col("html"),
+                        F.encode(F.concat(F.lit("<!--"),
+                                          F.repeat(F.lit("pad "), 20000),
+                                          F.lit("-->")), "UTF-8")))
+        .otherwise(F.col("html")))
+    plain = {r["url"]: r["extracted_text"]
+             for r in extract_pages(pages, with_routing_column=False).collect()}
+    tiered = {r["url"]: r["extracted_text"]
+              for r in extract_pages(pages, with_routing_column=False,
+                                     giant_threshold_bytes=20000,
+                                     salt_partitions=8).collect()}
+    assert plain == tiered
+    assert len(tiered) == 60
