@@ -95,8 +95,7 @@ def extract_pages(pages: DataFrame,
                   salt_partitions: Optional[int] = None,
                   remove_images: bool = False,
                   with_routing_column: bool = True,
-                  giant_threshold_bytes: Optional[int] = None,
-                  giant_arrow_batch_rows: int = 4) -> DataFrame:
+                  giant_threshold_bytes: Optional[int] = None) -> DataFrame:
     """Run the extraction kernel over a pages DataFrame.
 
     Input must carry (url string, html binary); extra columns are pruned
@@ -107,10 +106,9 @@ def extract_pages(pages: DataFrame,
       scatter instead of clustering in a url-range;
     - ``giant_threshold_bytes``: two-tier split — pages above the
       threshold (heavy-tailed CC reality: multi-MB blobs that take
-      100x median kernel time) run through a dedicated pass repartitioned
-      one-doc-per-task-ish with tiny Arrow batches, so a handful of
-      monsters can't straggle the main wave. Output is unionByName'd;
-      per-url results are identical either way.
+      100x median kernel time) run through a dedicated maximally-scattered
+      pass, so a handful of monsters can't straggle the main wave. Output
+      is unionByName'd; per-url results are identical either way.
     """
     df = pages.select("url", "html").filter(
         F.col("html").isNotNull() & (F.length(F.col("html")) > 0))
