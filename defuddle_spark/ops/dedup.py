@@ -46,16 +46,27 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        shingle_k: int = 3) -> DataFrame:
     """(doc_id, sig array<long>) — num_perm minhashes over k-shingles.
 
-    Permutation i is xxhash64(shingle, seed=i) (seeded variant of Spark's
-    builtin); array_min over the shingle set. All JVM-side.
+    Universal-hashing construction: each shingle is string-hashed twice
+    (h1 = xxhash64(s) mod 2^61-1, h2 = xxhash64(s,1) mod 2^31-1);
+    permutation i is min over shingles of h1 + i*h2 (never overflows
+    int64 under ANSI). Implemented as explode + hash aggregate rather
+    than array higher-order functions: Catalyst interprets transform/
+    zip_with lambdas per element, while min() aggregates run in
+    whole-stage codegen with map-side partial aggregation (the shuffle
+    carries one row per doc, not per shingle).
     """
     shingles = F.array_distinct(_token_shingles(text_col, shingle_k))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+    exploded = docs.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    hashed = exploded.select(
+        F.col(id_col),
+        F.pmod(F.xxhash64("_sh"), F.lit(2305843009213693951)).alias("_h1"),
+        F.pmod(F.xxhash64("_sh", F.lit(1)), F.lit(2147483647)).alias("_h2"))
+    aggd = hashed.groupBy(id_col).agg(*[
+        F.min(F.col("_h1") + F.lit(i).cast("long") * F.col("_h2")).alias(f"_m{i}")
         for i in range(num_perm)
     ])
-    return docs.select(F.col(id_col), sig.alias("sig"))
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
+    return aggd.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
