@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from typing import Any, List, Optional
 
 from . import constants, metadata, schema_org, scoring
-from .dom import Document, Element, parse
+from .dom import Document, Element, clone_document, parse
 from .selectors import compile_selector, find_all, find_first
 from .standardize import standardize_content
 
@@ -299,14 +299,25 @@ def count_words(content_html: str) -> int:
 # Parse pipeline
 # ---------------------------------------------------------------------------
 
-def _parse_internal(html_str: str, options: Options) -> Result:
-    """defuddle.go:393-619 (generic path; extractor dispatch in extractors/)."""
-    start = time.monotonic()
-    doc = parse(html_str)
+def _parse_internal(html_str: str, options: Options,
+                    _doc: Optional[Document] = None,
+                    _pre: Optional[tuple] = None) -> Result:
+    """defuddle.go:393-619 (generic path; extractor dispatch in extractors/).
 
-    schema_items = schema_org.extract_schema_org(doc.html)
-    meta_tags = collect_meta_tags(doc)
-    meta = metadata.extract(doc.html, schema_items, meta_tags, options.url)
+    ``_doc``/``_pre`` let the retry loop reuse the pristine parse and the
+    pre-mutation metadata (the reference re-parses and recomputes — the
+    values are pure functions of the unmutated document, so reuse is
+    output-equivalent; see extract_document).
+    """
+    start = time.monotonic()
+    doc = _doc if _doc is not None else parse(html_str)
+
+    if _pre is not None:
+        schema_items, meta_tags, meta = _pre
+    else:
+        schema_items = schema_org.extract_schema_org(doc.html)
+        meta_tags = collect_meta_tags(doc)
+        meta = metadata.extract(doc.html, schema_items, meta_tags, options.url)
 
     # Site-specific extractor dispatch (defuddle.go:420-492)
     from .extractors import find_extractor  # local import to avoid cycles
@@ -429,17 +440,33 @@ def _maybe_markdown(result: Result, options: Options) -> None:
 
 def extract_document(html_str: str, url: str = "",
                      options: Optional[Options] = None) -> Result:
-    """Full Parse() with the word-count retry loop (defuddle.go:133-169)."""
+    """Full Parse() with the word-count retry loop (defuddle.go:133-169).
+
+    Output-equivalent restructuring of the reference's retry: parse once,
+    compute schema/meta/metadata once on the pristine tree (the reference
+    recomputes identical values from a fresh parse), run each pass on a
+    deep clone (~5x cheaper than re-parsing). A pass that used a site
+    extractor skips the retry: the reference's retry would re-dispatch the
+    same extractor, yield an equal word count, and keep the first result.
+    """
     if options is None:
         options = Options()
     options.url = url or options.url
     try:
-        result = _parse_internal(html_str, options)
-        if result.word_count < RETRY_WORD_THRESHOLD:
+        doc0 = parse(html_str)
+        schema_items = schema_org.extract_schema_org(doc0.html)
+        meta_tags = collect_meta_tags(doc0)
+        meta = metadata.extract(doc0.html, schema_items, meta_tags, options.url)
+        pre = (schema_items, meta_tags, meta)
+
+        result = _parse_internal(html_str, options,
+                                 _doc=clone_document(doc0), _pre=pre)
+        if result.word_count < RETRY_WORD_THRESHOLD and result.extractor_type is None:
             import dataclasses
             retry_opts = dataclasses.replace(
                 options, remove_partial_selectors=False)
-            retry = _parse_internal(html_str, retry_opts)
+            retry = _parse_internal(html_str, retry_opts,
+                                    _doc=clone_document(doc0), _pre=pre)
             if retry.word_count > result.word_count:
                 retry.retry_used = True
                 return retry
