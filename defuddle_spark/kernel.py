@@ -164,8 +164,20 @@ def collect_meta_tags(doc: Document) -> List[dict]:
 # ---------------------------------------------------------------------------
 
 def find_main_content(doc: Document) -> Optional[Element]:
-    for sel in _ENTRY_SELECTORS:
-        el = sel.find_first(doc.html)
+    # First match per entry selector captured in ONE walk (equivalent to
+    # the reference's per-selector querySelector sweeps: each selector's
+    # winner is its first doc-order match, then the first selector with
+    # any match wins — defuddle.go:649-663).
+    matches: list = [None] * len(_ENTRY_SELECTORS)
+    remaining = len(_ENTRY_SELECTORS)
+    for el in doc.html.descendants():
+        for i, sel in enumerate(_ENTRY_SELECTORS):
+            if matches[i] is None and sel.match(el):
+                matches[i] = el
+                remaining -= 1
+        if matches[0] is not None or remaining == 0:
+            break
+    for el in matches:
         if el is not None:
             return el
     table_content = _find_table_based_content(doc)
