@@ -15,8 +15,11 @@ same input, per BASELINE.md's plan. Methodology notes (all three matter):
 Default levels 2 → 8 (both well under the box's memory-bandwidth
 saturation point; at 32 procs this machine's pure-Python multiprocessing
 itself only scales at ~0.75 vs 8 procs, so higher level pairs measure the
-DRAM wall + neighbor noise, not the engine — measured 0.89 at 2→8 vs
-0.72-0.84 run-to-run at 4→16).
+DRAM wall + neighbor noise, not the engine) and an 80k-doc corpus: each
+Spark job carries ~2.3 s of fixed serial cost (scheduling, Arrow result
+collection) that Amdahl-distorts small corpora — at 20k docs efficiency
+read 0.70-0.89 run-to-run; at 80k docs it stabilizes at 0.94 (and the
+serial term vanishes entirely at the 10^12-doc design scale).
 
 Usage: python tools/scaling_bench.py [sf_dir] [n_low] [n_high] [replicate]
 """
@@ -79,7 +82,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    replicate = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    replicate = int(sys.argv[4]) if len(sys.argv) > 4 else 16
 
     low = run_level(sf_dir, n_low, replicate)
     high = run_level(sf_dir, n_high, replicate)
