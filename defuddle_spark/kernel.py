@@ -89,6 +89,9 @@ class Result:
     meta_tags: List[dict] = field(default_factory=list)
     retry_used: bool = False
     error: Optional[str] = None
+    # Internal: elements removed by the partial-selector branch in this pass
+    # (not part of the output contract; drives the retry-skip fast path).
+    partial_removals: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -211,10 +214,15 @@ def _find_content_by_scoring(doc: Document) -> Optional[Element]:
 # Clutter removal (defuddle.go:780-807, 1392-1417, 1537-1614)
 # ---------------------------------------------------------------------------
 
-def remove_by_selector(doc: Document, remove_exact: bool, remove_partial: bool) -> None:
+def remove_by_selector(doc: Document, remove_exact: bool, remove_partial: bool) -> int:
     """Single-walk match-any sweep; output-equivalent to the reference's
-    ordered per-selector passes (see SelectorGroup docstring for why)."""
+    ordered per-selector passes (see SelectorGroup docstring for why).
+
+    Returns the number of elements removed by the *partial* branch — the
+    retry loop uses it to skip the second pass when it provably cannot
+    change the output (see extract_document)."""
     root = doc.html
+    partial_removed = 0
     for el in list(root.descendants()):
         if remove_exact and _EXACT_GROUP.matches(el):
             el.remove()
@@ -224,7 +232,9 @@ def remove_by_selector(doc: Document, remove_exact: bool, remove_partial: bool) 
                 value = el.get(attr)
                 if value and _PARTIAL_RE.search(value.lower()):
                     el.remove()
+                    partial_removed += 1
                     break
+    return partial_removed
 
 
 def remove_hidden_elements(doc: Document) -> None:
@@ -386,9 +396,11 @@ def _parse_internal(html_str: str, options: Options,
         remove_all_images(doc)
     remove_hidden_elements(doc)
     scoring.score_and_remove(doc.html)
+    partial_removals = 0
     if options.remove_exact_selectors or options.remove_partial_selectors:
-        remove_by_selector(doc, options.remove_exact_selectors,
-                           options.remove_partial_selectors)
+        partial_removals = remove_by_selector(
+            doc, options.remove_exact_selectors,
+            options.remove_partial_selectors)
 
     # Opt-in E1-E6 processors run before standardization: in the TS original
     # their rules are part of ELEMENT_STANDARDIZATION_RULES (mathRules,
@@ -409,6 +421,7 @@ def _parse_internal(html_str: str, options: Options,
         word_count=len(extracted_text.split()),
         schema_org=json.dumps(schema_items, ensure_ascii=False, separators=(",", ":")),
         meta_tags=meta_tags,
+        partial_removals=partial_removals,
         **{k: meta[k] for k in ("title", "description", "domain", "favicon",
                                 "image", "published", "author", "site")},
     )
@@ -473,7 +486,14 @@ def extract_document(html_str: str, url: str = "",
 
         result = _parse_internal(html_str, options,
                                  _doc=clone_document(doc0), _pre=pre)
-        if result.word_count < RETRY_WORD_THRESHOLD and result.extractor_type is None:
+        # Retry-skip fast path: the retry differs from the first pass ONLY
+        # by remove_partial_selectors=False. If the first pass's partial
+        # branch removed zero elements, the retry pipeline is bit-identical
+        # to the first pass, so retry.word_count == result.word_count and
+        # the reference (defuddle.go:133-169) keeps the first result anyway.
+        if (result.word_count < RETRY_WORD_THRESHOLD
+                and result.extractor_type is None
+                and result.partial_removals > 0):
             import dataclasses
             retry_opts = dataclasses.replace(
                 options, remove_partial_selectors=False)

@@ -416,3 +416,46 @@ def test_non_matching_url_uses_generic_path():
     r = extract_document(html, url="https://example.com/post")
     assert r.extractor_type is None
     assert r.domain == "example.com"
+
+
+def test_retry_skip_is_output_equivalent():
+    """The retry-skip fast path (kernel.extract_document) must produce
+    byte-identical output to an unconditional two-pass run when the first
+    pass removed nothing via partial selectors."""
+    import dataclasses
+    from defuddle_spark import kernel as K
+
+    short_no_partial = (
+        "<html><head><title>Tiny</title></head><body>"
+        "<nav><a href='/'>Home</a></nav>"
+        "<article><h1>Tiny</h1><p>Just a few words here.</p></article>"
+        "</body></html>"
+    )
+    fast = extract_document(short_no_partial)
+    assert not fast.retry_used and fast.partial_removals == 0
+
+    # Reference-faithful unconditional retry for comparison.
+    opts = Options()
+    first = K._parse_internal(short_no_partial, opts)
+    retry = K._parse_internal(
+        short_no_partial,
+        dataclasses.replace(opts, remove_partial_selectors=False))
+    expected = retry if retry.word_count > first.word_count else first
+    assert fast.content == expected.content
+    assert fast.extracted_text == expected.extracted_text
+    assert fast.word_count == expected.word_count
+
+
+def test_retry_still_runs_when_partials_removed():
+    """A short doc whose partial sweep DID remove content must still take
+    the retry path (no over-eager skipping)."""
+    body = "Recovered paragraph with enough words to win the retry pass. " * 24
+    html = (
+        "<html><head><title>R</title></head><body><main><article>"
+        "<h1>R</h1><p>Lead.</p>"
+        f'<section class="reader-comments-analysis"><p>{body}</p></section>'
+        "</article></main></body></html>"
+    )
+    r = extract_document(html)
+    assert r.retry_used
+    assert "Recovered paragraph" in r.content
