@@ -13,10 +13,96 @@ import re
 from typing import Any, List, Optional
 from urllib.parse import urljoin, urlparse
 
-from .dom import Element
+from .dom import ELEMENT, Element
 from .selectors import find_all, find_first
 
 _ARRAY_INDEX_RE = re.compile(r"^\[\d+\]$")
+
+
+class DomProbes:
+    """All DOM lookups metadata needs, collected in ONE descendants walk.
+
+    Replaces up to 8 separate selector-engine walks per document
+    (title, link[rel*=icon], time[datetime], link[rel=canonical],
+    base[href], and get_author's four selectors) with hand-coded
+    matchers that replicate the engine's semantics exactly:
+    class matching is whitespace-token exact, attribute ops are
+    case-sensitive, ``[attr]`` means present (empty string counts),
+    and ``.authors a`` walks the real parent chain like Chain.match.
+    """
+
+    __slots__ = ("title_el", "icon_el", "time_el", "canonical_el", "base_el",
+                 "author_itemprop", "author_class", "author_href", "authors_a")
+
+    def __init__(self, doc_root: Element) -> None:
+        self.title_el = None
+        self.icon_el = None
+        self.time_el = None
+        self.canonical_el = None
+        self.base_el = None
+        self.author_itemprop: List[Element] = []
+        self.author_class: List[Element] = []
+        self.author_href: List[Element] = []
+        self.authors_a: List[Element] = []
+        saw_authors_class = False
+        for el in doc_root.descendants():
+            tag = el.tag
+            # One scan over the (usually tiny) attrs list instead of one
+            # get() call per probed attribute.
+            cls = href = rel = itemprop = datetime_v = None
+            for k, v in el.attrs:
+                if k == "class":
+                    if cls is None:
+                        cls = v
+                elif k == "href":
+                    if href is None:
+                        href = v
+                elif k == "rel":
+                    if rel is None:
+                        rel = v
+                elif k == "itemprop":
+                    if itemprop is None:
+                        itemprop = v
+                elif k == "datetime":
+                    if datetime_v is None:
+                        datetime_v = v
+            if tag == "title":
+                if self.title_el is None:
+                    self.title_el = el
+            elif tag == "link":
+                if rel is not None:
+                    if self.icon_el is None and "icon" in rel:
+                        self.icon_el = el
+                    if self.canonical_el is None and rel == "canonical":
+                        self.canonical_el = el
+            elif tag == "time":
+                if self.time_el is None and datetime_v is not None:
+                    self.time_el = el
+            elif tag == "base":
+                if self.base_el is None and href is not None:
+                    self.base_el = el
+            elif tag == "a" and saw_authors_class:
+                # Ancestors precede descendants in the pre-order walk, so
+                # the guard is exact: an <a> can only match ".authors a"
+                # after some authors-class element has been seen.
+                node = el.parent
+                while (node is not None and node.type == ELEMENT
+                       and not node.tag.startswith("#")):
+                    c = node.get("class")
+                    if c is not None and "authors" in c.split():
+                        self.authors_a.append(el)
+                        break
+                    node = node.parent
+            if itemprop == "author":
+                self.author_itemprop.append(el)
+            if cls is not None and "author" in cls:
+                tokens = cls.split()
+                if "author" in tokens:
+                    self.author_class.append(el)
+                if "authors" in tokens:
+                    saw_authors_class = True
+            if href is not None and "author" in href:
+                self.author_href.append(el)
 
 
 def _first(*vals: str) -> str:
@@ -133,7 +219,8 @@ def _format_author_list(authors: List[str]) -> str:
     return ", ".join(unique[:10])
 
 
-def get_author(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> str:
+def get_author(doc_root: Element, schema_data: Any, meta_tags: List[dict],
+               _probes: Optional[DomProbes] = None) -> str:
     """metadata.go:256-314."""
     authors = _first(
         get_meta_content(meta_tags, "name", "sailthru.author"),
@@ -153,9 +240,17 @@ def get_author(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> st
     if formatted:
         return formatted
 
+    if _probes is not None:
+        selector_hits = (_probes.author_itemprop, _probes.author_class,
+                         _probes.author_href, _probes.authors_a)
+    else:
+        selector_hits = tuple(
+            find_all(doc_root, s)
+            for s in ('[itemprop="author"]', ".author",
+                      '[href*="author"]', ".authors a"))
     dom_authors: List[str] = []
-    for selector in ('[itemprop="author"]', ".author", '[href*="author"]', ".authors a"):
-        for el in find_all(doc_root, selector):
+    for hits in selector_hits:
+        for el in hits:
             for part in el.text().split(","):
                 cleaned = part.strip().rstrip(",").strip()
                 lower = cleaned.lower()
@@ -195,7 +290,8 @@ def get_site(doc_root: Element, schema_data: Any, meta_tags: List[dict],
 
 
 def get_title(doc_root: Element, schema_data: Any, meta_tags: List[dict],
-              _site: Optional[str] = None) -> str:
+              _site: Optional[str] = None,
+              _probes: Optional[DomProbes] = None) -> str:
     """metadata.go:363-379."""
     raw = _first(
         get_meta_content(meta_tags, "property", "og:title"),
@@ -205,7 +301,8 @@ def get_title(doc_root: Element, schema_data: Any, meta_tags: List[dict],
         get_meta_content(meta_tags, "name", "sailthru.title"),
     )
     if not raw:
-        title_el = find_first(doc_root, "title")
+        title_el = (_probes.title_el if _probes is not None
+                    else find_first(doc_root, "title"))
         if title_el is not None:
             raw = title_el.text().strip()
     site = _site if _site is not None else get_site(doc_root, schema_data, meta_tags)
@@ -236,10 +333,12 @@ def get_image(schema_data: Any, meta_tags: List[dict]) -> str:
     )
 
 
-def get_favicon(doc_root: Element, base_url: str, meta_tags: List[dict]) -> str:
+def get_favicon(doc_root: Element, base_url: str, meta_tags: List[dict],
+                _probes: Optional[DomProbes] = None) -> str:
     """metadata.go:501-532."""
     favicon = ""
-    icon = find_first(doc_root, 'link[rel*="icon"]')
+    icon = (_probes.icon_el if _probes is not None
+            else find_first(doc_root, 'link[rel*="icon"]'))
     if icon is not None:
         favicon = icon.get("href") or ""
     if not favicon:
@@ -256,7 +355,8 @@ def get_favicon(doc_root: Element, base_url: str, meta_tags: List[dict]) -> str:
     return favicon
 
 
-def get_published(doc_root: Element, schema_data: Any, meta_tags: List[dict]) -> str:
+def get_published(doc_root: Element, schema_data: Any, meta_tags: List[dict],
+                  _probes: Optional[DomProbes] = None) -> str:
     """metadata.go:547-555."""
     published = _first(
         get_schema_property(schema_data, "datePublished"),
@@ -266,7 +366,8 @@ def get_published(doc_root: Element, schema_data: Any, meta_tags: List[dict]) ->
     )
     if published:
         return published
-    time_el = find_first(doc_root, "time[datetime]")
+    time_el = (_probes.time_el if _probes is not None
+               else find_first(doc_root, "time[datetime]"))
     if time_el is not None:
         return time_el.get("datetime") or ""
     return ""
@@ -283,6 +384,7 @@ def _domain_from_url(raw_url: str) -> str:
 def extract(doc_root: Element, schema_data: Any, meta_tags: List[dict],
             base_url: str) -> dict:
     """metadata.go:117-166 — the full metadata struct for one document."""
+    probes = DomProbes(doc_root)
     document_url = base_url
     if not document_url:
         document_url = _first(
@@ -294,27 +396,30 @@ def extract(doc_root: Element, schema_data: Any, meta_tags: List[dict],
             get_schema_property(schema_data, "WebSite.url"),
         )
         if not document_url:
-            canonical = find_first(doc_root, 'link[rel="canonical"]')
+            canonical = probes.canonical_el
             if canonical is not None:
                 document_url = canonical.get("href") or ""
 
     domain = _domain_from_url(document_url) if document_url else ""
 
     if not document_url:
-        base_tag = find_first(doc_root, "base[href]")
+        base_tag = probes.base_el
         if base_tag is not None:
             document_url = base_tag.get("href") or ""
             domain = _domain_from_url(document_url)
 
-    author = get_author(doc_root, schema_data, meta_tags)
+    author = get_author(doc_root, schema_data, meta_tags, _probes=probes)
     site = get_site(doc_root, schema_data, meta_tags, _author=author)
     return {
-        "title": get_title(doc_root, schema_data, meta_tags, _site=site),
+        "title": get_title(doc_root, schema_data, meta_tags, _site=site,
+                           _probes=probes),
         "description": get_description(schema_data, meta_tags),
         "domain": domain,
-        "favicon": get_favicon(doc_root, document_url, meta_tags),
+        "favicon": get_favicon(doc_root, document_url, meta_tags,
+                               _probes=probes),
         "image": get_image(schema_data, meta_tags),
-        "published": get_published(doc_root, schema_data, meta_tags),
+        "published": get_published(doc_root, schema_data, meta_tags,
+                                   _probes=probes),
         "author": author,
         "site": site,
     }

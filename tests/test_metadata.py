@@ -150,3 +150,44 @@ def test_is_likely_content_class_or_id():
     assert is_likely_content(divs[0])
     assert is_likely_content(divs[1])
     assert not is_likely_content(divs[2])
+
+
+def test_dom_probes_match_selector_engine():
+    """DomProbes' hand-coded matchers must agree with the generic selector
+    engine on every probe, including the tricky cases (token-exact class
+    match, [attr] presence with empty value, .authors a ancestor walk)."""
+    from defuddle_spark.dom import parse
+    from defuddle_spark.metadata import DomProbes
+    from defuddle_spark.selectors import find_all, find_first
+
+    html = """<html><head>
+      <title>First Title</title><title>Second Title</title>
+      <link rel="stylesheet" href="/s.css">
+      <link rel="shortcut icon" href="/fav.png">
+      <link rel="canonical" href="https://x.test/canon">
+      <base href="https://x.test/">
+    </head><body>
+      <time>undated</time><time datetime="">empty-ok</time>
+      <time datetime="2024-01-01">real</time>
+      <span class="author-bio">not a token match</span>
+      <span class="author">Token Match</span>
+      <div itemprop="author">Item Prop</div>
+      <a href="/author/jane">By Href</a>
+      <a href="/authority">authority substring counts</a>
+      <div class="authors"><section><a href="/a">Nested A</a></section></div>
+      <div class="not-authors"><a href="/b">Not This</a></div>
+    </body></html>"""
+    root = parse(html).html
+    p = DomProbes(root)
+
+    assert p.title_el is find_first(root, "title")
+    assert p.icon_el is find_first(root, 'link[rel*="icon"]')
+    assert p.time_el is find_first(root, "time[datetime]")
+    assert p.canonical_el is find_first(root, 'link[rel="canonical"]')
+    assert p.base_el is find_first(root, "base[href]")
+    assert p.author_itemprop == find_all(root, '[itemprop="author"]')
+    assert p.author_class == find_all(root, ".author")
+    assert p.author_href == find_all(root, '[href*="author"]')
+    assert p.authors_a == find_all(root, ".authors a")
+    assert p.time_el.get("datetime") == ""
+    assert [e.text() for e in p.authors_a] == ["Nested A"]
