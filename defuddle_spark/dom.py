@@ -101,6 +101,74 @@ _SVG_TAG_ADJUST = {
     "textpath": "textPath",
 }
 
+# HTML5 formatting elements (spec 13.2.4.3; x/net/html parse.go) — tracked in
+# the list of active formatting elements and reconstructed / adopted.
+_FORMATTING = frozenset({
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u",
+})
+
+# x/net/html isSpecialElement (parse.go): the "special" category used by the
+# adoption agency's furthest-block search and the any-other-end-tag rule.
+_SPECIAL = frozenset({
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "iframe", "img", "input", "keygen", "li",
+    "link", "listing", "main", "marquee", "menu", "meta", "nav", "noembed",
+    "noframes", "noscript", "object", "ol", "p", "param", "plaintext",
+    "pre", "script", "section", "select", "source", "style", "summary",
+    "table", "tbody", "td", "template", "textarea", "tfoot", "th", "thead",
+    "title", "tr", "track", "ul", "wbr", "xmp",
+})
+
+# Default-scope boundary set for "has an element in scope" (spec 13.2.4.2).
+_DEFAULT_SCOPE_STOP = frozenset({
+    "applet", "caption", "html", "table", "td", "th", "marquee", "object",
+    "template",
+})
+
+# Start tags that push a scope marker onto the active formatting list.
+_AFE_MARKER_TAGS = frozenset({
+    "td", "th", "caption", "applet", "object", "marquee", "template",
+})
+
+# "In body" start tags whose spec rules do NOT reconstruct the active
+# formatting elements (blocks, list items, table machinery, head-ish, raw
+# text). Everything else — formatting tags, phrasing, void inlines,
+# "any other start tag" — reconstructs first.
+_NO_RECONSTRUCT = frozenset({
+    "html", "head", "body", "frameset", "frame", "base", "basefont",
+    "bgsound", "link", "meta", "title", "noscript", "noframes", "script",
+    "style", "template", "address", "article", "aside", "blockquote",
+    "center", "details", "dialog", "dir", "div", "dl", "fieldset",
+    "figcaption", "figure", "footer", "header", "hgroup", "main", "menu",
+    "nav", "ol", "p", "section", "summary", "ul", "h1", "h2", "h3", "h4",
+    "h5", "h6", "pre", "listing", "form", "li", "dd", "dt", "plaintext",
+    "table", "hr", "textarea", "iframe", "noembed", "caption", "col",
+    "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr",
+})
+
+# Insertion contexts that trigger foster parenting, and the start tags that
+# are legal inside them (x/net/html inTableIM; simplified).
+_TABLE_CTX = frozenset({"table", "tbody", "tfoot", "thead", "tr"})
+_TABLE_ALLOWED = frozenset({
+    "caption", "colgroup", "col", "tbody", "tfoot", "thead", "td", "th",
+    "tr", "style", "script", "template", "form", "table", "select",
+})
+
+
+class _Marker:
+    """Scope marker sentinel for the active formatting elements list."""
+    __slots__ = ()
+    tag = "#marker"
+
+
+_MARKER = _Marker()
+
+
 _IMPLIED_END = {
     "li": frozenset({"li"}),
     "dt": frozenset({"dt", "dd"}),
@@ -419,6 +487,8 @@ class _TreeBuilder(HTMLParser):
         # parallel to self.stack: is the element inside an <svg> subtree?
         # (kept as a list so deep documents stay O(n), not O(n^2))
         self.svg_flags = [False]
+        # list of active formatting elements (Element | _MARKER sentinel)
+        self.afe: list = []
 
     # -- helpers --
     def _cur(self) -> Element:
@@ -429,11 +499,233 @@ class _TreeBuilder(HTMLParser):
         self.stack.append(el)
 
     def _truncate(self, i: int) -> None:
+        popped = self.stack[i:] if self.afe else None
         del self.stack[i:]
         del self.svg_flags[i:]
         if not self.stack:
             self.stack = [self.body if not self.fragment else self.root]
             self.svg_flags = [False]
+        if popped:
+            for el in popped:
+                if el.tag in _AFE_MARKER_TAGS:
+                    self._clear_afe_to_marker()
+
+    # -- active formatting elements (spec 13.2.4.3) --
+    def _clear_afe_to_marker(self) -> None:
+        afe = self.afe
+        while afe:
+            entry = afe.pop()
+            if entry is _MARKER:
+                return
+
+    def _stack_remove(self, el: Element) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i] is el:
+                del self.stack[i]
+                del self.svg_flags[i]
+                return
+
+    def _stack_index(self, el: Element) -> int:
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i] is el:
+                return i
+        return -1
+
+    def _element_in_scope(self, tag: str) -> bool:
+        """'has an element in (default) scope' — spec 13.2.4.2."""
+        for el in reversed(self.stack):
+            t = el.tag
+            if t == tag:
+                return True
+            if t in _DEFAULT_SCOPE_STOP:
+                return False
+        return False
+
+    @staticmethod
+    def _shallow_clone(el: Element) -> Element:
+        return Element(el.tag, [list(p) for p in el.attrs])
+
+    def _reconstruct_afe(self) -> None:
+        """Reconstruct the active formatting elements (x/net/html
+        reconstructActiveFormattingElements): re-open formatting elements
+        whose tags were closed by block boundaries or table pops."""
+        afe = self.afe
+        if not afe:
+            return
+        n = afe[-1]
+        if n is _MARKER or self._stack_index(n) != -1:
+            return
+        i = len(afe) - 1
+        while n is not _MARKER and self._stack_index(n) == -1:
+            if i == 0:
+                i = -1
+                break
+            i -= 1
+            n = afe[i]
+        while True:
+            i += 1
+            clone = self._shallow_clone(afe[i])
+            self._insert_element(clone)
+            self._push(clone)
+            afe[i] = clone
+            if i == len(afe) - 1:
+                break
+
+    def _push_afe(self, el: Element) -> None:
+        """Push a formatting element with the Noah's Ark clause: at most 3
+        entries with identical tag + attrs since the last marker."""
+        afe = self.afe
+        if afe:
+            matches = 0
+            attrs_key = None
+            earliest = -1
+            tag = el.tag
+            for i in range(len(afe) - 1, -1, -1):
+                e = afe[i]
+                if e is _MARKER:
+                    break
+                if e.tag == tag:
+                    if attrs_key is None:
+                        attrs_key = sorted(map(tuple, el.attrs))
+                    if sorted(map(tuple, e.attrs)) == attrs_key:
+                        matches += 1
+                        earliest = i
+            if matches >= 3:
+                del afe[earliest]
+        afe.append(el)
+
+    # -- insertion (foster parenting, spec 13.2.6.1) --
+    def _needs_foster(self, tag: Optional[str] = None) -> bool:
+        cur = self.stack[-1].tag
+        if cur not in _TABLE_CTX:
+            return False
+        return tag is None or tag not in _TABLE_ALLOWED
+
+    def _foster_parent(self, node: Node) -> None:
+        """Insert ``node`` at the foster location: immediately before the
+        last open table (x/net/html fosterParent)."""
+        table = None
+        ti = -1
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == "table":
+                table = self.stack[i]
+                ti = i
+                break
+        if table is None:
+            parent = self.stack[0]
+        else:
+            parent = table.parent
+        if parent is None:
+            parent = self.stack[ti - 1] if ti > 0 else self.stack[0]
+        if table is not None and table.parent is parent:
+            prev = table.prev_sibling()
+        else:
+            prev = parent.children[-1] if parent.children else None
+        if (prev is not None and prev.type == TEXT and node.type == TEXT):
+            prev.data += node.data
+            return
+        if table is not None and table.parent is parent:
+            parent.insert_before(node, table)
+        else:
+            parent.append(node)
+
+    def _insert_element(self, el: Element) -> None:
+        if self._needs_foster(el.tag):
+            self._foster_parent(el)
+        else:
+            self._cur().append(el)
+
+    # -- adoption agency (spec 13.2.4.7; x/net/html inBodyEndTagFormatting) --
+    def _any_other_end_tag(self, tag: str) -> None:
+        """'Any other end tag' in body: pop through a match, but never
+        across a special element."""
+        adjusted = _SVG_TAG_ADJUST.get(tag)
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t == tag or (adjusted is not None and t == adjusted):
+                self._truncate(i)
+                return
+            if t in _SPECIAL:
+                return
+
+    def _adoption_agency(self, tag: str) -> None:
+        # Step 1 (x/net/html): current node matches and isn't in the list.
+        cur = self.stack[-1]
+        if cur.tag == tag and not any(e is cur for e in self.afe):
+            self._truncate(len(self.stack) - 1)
+            return
+        for _ in range(8):
+            # Find the formatting element.
+            fmt = None
+            for e in reversed(self.afe):
+                if e is _MARKER:
+                    break
+                if e.tag == tag:
+                    fmt = e
+                    break
+            if fmt is None:
+                self._any_other_end_tag(tag)
+                return
+            fi = self._stack_index(fmt)
+            if fi == -1:
+                self.afe.remove(fmt)
+                return
+            if not self._element_in_scope(tag):
+                return
+            # Find the furthest block: first special element above fmt.
+            fb = None
+            fbi = -1
+            for i in range(fi + 1, len(self.stack)):
+                if self.stack[i].tag in _SPECIAL:
+                    fb = self.stack[i]
+                    fbi = i
+                    break
+            if fb is None:
+                self._truncate(fi)
+                self.afe.remove(fmt)
+                return
+            common_ancestor = self.stack[fi - 1] if fi > 0 else self.stack[0]
+            bookmark = self.afe.index(fmt)
+            # Inner loop (at most 3 iterations, per x/net/html).
+            last_node = fb
+            x = fbi
+            for _j in range(3):
+                x -= 1
+                node = self.stack[x]
+                if node is fmt:
+                    break
+                if not any(e is node for e in self.afe):
+                    del self.stack[x]
+                    del self.svg_flags[x]
+                    continue
+                clone = self._shallow_clone(node)
+                self.afe[self.afe.index(node)] = clone
+                self.stack[x] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = self.afe.index(node) + 1
+                node.append(last_node)  # append() detaches first
+                last_node = node
+            # Reparent last_node under the common ancestor (foster-aware).
+            if common_ancestor.tag in _TABLE_CTX:
+                self._foster_parent(last_node)
+            else:
+                common_ancestor.append(last_node)
+            # Move furthest block's children into a clone of fmt.
+            clone = self._shallow_clone(fmt)
+            for c in list(fb.children):
+                clone.append(c)
+            fb.append(clone)
+            # Fix up the list and the stack.
+            old = self.afe.index(fmt)
+            if old < bookmark:
+                bookmark -= 1
+            del self.afe[old]
+            self.afe.insert(bookmark, clone)
+            self._stack_remove(fmt)
+            fbi = self._stack_index(fb)
+            self.stack.insert(fbi + 1, clone)
+            self.svg_flags.insert(fbi + 1, self.svg_flags[fbi])
 
     def _start_body(self) -> None:
         if not self.body_started:
@@ -487,6 +779,18 @@ class _TreeBuilder(HTMLParser):
 
         self._implied_close(tag)
 
+        # "in table" <table> start tag: a new table closes the open one
+        # unless we are inside a cell/caption (spec 13.2.6.4.9).
+        if tag == "table":
+            for i in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[i].tag
+                if t in ("td", "th", "caption", "template", "html", "body",
+                         "#fragment"):
+                    break
+                if t == "table":
+                    self._truncate(i)
+                    break
+
         # implied tbody for tr directly inside table (HTML5/x-net-html parity)
         if tag == "tr" and self._cur().tag == "table":
             tbody = Element("tbody")
@@ -508,6 +812,28 @@ class _TreeBuilder(HTMLParser):
         if in_svg and tag in _SVG_TAG_ADJUST:
             tag = _SVG_TAG_ADJUST[tag]
 
+        is_formatting = not in_svg and tag in _FORMATTING
+        if is_formatting and tag == "a" and self.afe:
+            # An <a> start tag with an open <a> in the list: run the
+            # adoption agency for it, then drop it (spec "in body" <a>).
+            for e in reversed(self.afe):
+                if e is _MARKER:
+                    break
+                if e.tag == "a":
+                    self._adoption_agency("a")
+                    if any(x is e for x in self.afe):
+                        self.afe.remove(e)
+                    self._stack_remove(e)
+                    break
+        if self.afe and not in_svg and (
+                is_formatting or tag not in _NO_RECONSTRUCT):
+            cur_tag = self._cur().tag
+            if cur_tag not in RAW_TEXT_ELEMENTS:
+                self._reconstruct_afe()
+        if is_formatting and tag == "nobr" and self._element_in_scope("nobr"):
+            self._adoption_agency("nobr")
+            self._reconstruct_afe()
+
         seen = set()
         attr_pairs = []
         for k, v in attrs:
@@ -519,9 +845,17 @@ class _TreeBuilder(HTMLParser):
             seen.add(k)
             attr_pairs.append([k, v if v is not None else ""])
         el = Element(tag, attr_pairs)
-        self._cur().append(el)
+        cur = self.stack[-1]
+        if cur.tag in _TABLE_CTX and tag not in _TABLE_ALLOWED:
+            self._foster_parent(el)
+        else:
+            cur.append(el)
         if tag not in VOID_ELEMENTS:
             self._push(el)
+        if is_formatting:
+            self._push_afe(el)
+        elif tag in _AFE_MARKER_TAGS:
+            self.afe.append(_MARKER)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         tag = tag.lower()
@@ -538,6 +872,13 @@ class _TreeBuilder(HTMLParser):
         if not self.fragment and tag in ("html", "body", "head"):
             if tag == "head" and not self.body_started:
                 self._start_body()
+            return
+        if tag in _FORMATTING and not self.svg_flags[-1]:
+            self._adoption_agency(tag)
+            return
+        if tag not in _SPECIAL and tag not in _SVG_TAG_ADJUST \
+                and self.svg_flags[-1] is False:
+            self._any_other_end_tag(tag)
             return
         adjusted = _SVG_TAG_ADJUST.get(tag)
         for i in range(len(self.stack) - 1, -1, -1):
@@ -558,6 +899,19 @@ class _TreeBuilder(HTMLParser):
                 else:
                     return  # drop inter-head whitespace like x/net/html "before head"
         cur = self._cur()
+        t = cur.tag
+        if (self.afe or t in _TABLE_CTX) and t not in RAW_TEXT_ELEMENTS:
+            if t in _TABLE_CTX and data.strip():
+                # Non-whitespace text in a table context is foster-parented
+                # (spec "in table text" anything-else branch).
+                self._reconstruct_afe()
+                if self._needs_foster():
+                    self._foster_parent(Text(data))
+                    return
+                cur = self._cur()
+            elif t not in _TABLE_CTX:
+                self._reconstruct_afe()
+                cur = self._cur()
         kids = cur.children
         if kids and kids[-1].type == TEXT:
             kids[-1].data += data

@@ -1,0 +1,91 @@
+"""HTML5 tree-construction parity for hostile real-web markup.
+
+The reference parses with Go x/net/html, which implements the full HTML5
+tree-construction algorithm (adoption agency for misnested formatting
+elements, foster parenting for content misplaced in tables). Expected
+strings below are the outputs x/net/html produces for these classic
+html5lib-tests cases; byte-identity of extracted content on hostile pages
+depends on matching them (reference: defuddle.go:89-108 parse entry).
+"""
+
+import pytest
+
+from defuddle_spark.dom import parse
+
+
+def body_of(src: str) -> str:
+    return parse(f"<html><body>{src}</body></html>").body.inner_html()
+
+
+ADOPTION_CASES = [
+    # misnested <b>/<i>: the trailing run is re-wrapped in a clone
+    ("<p>1<b>2<i>3</b>4</i>5</p>", "<p>1<b>2<i>3</i></b><i>4</i>5</p>"),
+    ("<b>x<i>y</b>z</i>", "<b>x<i>y</i></b><i>z</i>"),
+    # block inside formatting: furthest-block reparenting
+    ("<b>1<p>2</b>3</p>", "<b>1</b><p><b>2</b>3</p>"),
+    ("<i>1<div>2</i>3</div>", "<i>1</i><div><i>2</i>3</div>"),
+    # nested <a> is implicitly closed (in-body <a> rule)
+    ("<a>1<a>2</a>", "<a>1</a><a>2</a>"),
+    # formatting element reconstruction after a block pop
+    ("<p><span>a</p>b", "<p><span>a</span></p>b"),
+]
+
+
+@pytest.mark.parametrize("src,want", ADOPTION_CASES)
+def test_adoption_agency(src, want):
+    assert body_of(src) == want
+
+
+FOSTER_CASES = [
+    # stray text in table contexts hops out in front of the table
+    ("<table>foo<td>x</td></table>",
+     "foo<table><tbody><tr><td>x</td></tr></tbody></table>"),
+    ("<table><tr>bar<td>x</td></tr></table>",
+     "bar<table><tbody><tr><td>x</td></tr></tbody></table>"),
+    # fostered text merges with preceding text (x/net/html fosterParent)
+    ("<b>1<table>2</table>3</b>", "<b>12<table></table>3</b>"),
+    # element start tags are fostered too, and formatting survives the table
+    ("<table><b>foo</table>bar", "<b>foo</b><table></table><b>bar</b>"),
+    # a new <table> closes the open one unless inside a cell
+    ("<div><table><table>0</table></table></div>",
+     "<div><table></table>0<table></table></div>"),
+    ("<table><td><table>x</table></td></table>",
+     "<table><tbody><tr><td>x<table></table></td></tr></tbody></table>"),
+    # whitespace-only text stays inside the table
+    ("<table> <td>x</td></table>",
+     "<table> <tbody><tr><td>x</td></tr></tbody></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", FOSTER_CASES)
+def test_foster_parenting(src, want):
+    assert body_of(src) == want
+
+
+def test_reconstruction_is_marker_bounded():
+    # formatting open at <td> must not leak past the cell (scope marker)
+    out = body_of("<table><tr><td><b>bold</td></tr></table>plain")
+    assert out.endswith("</table>plain")
+    assert "<b>plain" not in out
+
+
+def test_well_formed_markup_unchanged():
+    # the algorithms must be no-ops on clean pages (golden-fixture safety)
+    src = ("<article><h1>T</h1><p>Hello <b>bold</b> and <i>it</i>.</p>"
+           "<table><tbody><tr><td>c</td></tr></tbody></table></article>")
+    assert body_of(src) == src
+
+
+def test_extraction_survives_misnesting():
+    from defuddle_spark.kernel import extract_document
+    body = "Readable paragraph text for the scorer to find. " * 30
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<nav><a href='/'>Home</a></nav>"
+        f"<article><h1>T</h1><b>lead<p>{body}</b>tail</p></article>"
+        "</body></html>"
+    )
+    r = extract_document(html)
+    assert "Readable paragraph text" in r.extracted_text
+    assert "tail" in r.extracted_text
+    assert "Home" not in r.extracted_text
