@@ -2,8 +2,14 @@
 
 Scale rationale (100 TB / 1000-executor design; tested on local[N]):
 - AQE on: runtime coalescing + skew splitting for the post-kernel stages.
-- Arrow batches capped small (64 rows): pages are ~KB-MB each; default
-  10k-row batches would hold GBs per Python worker.
+- Arrow batches capped BOTH ways: 512 rows AND 32 MB (Spark 4's
+  maxBytesPerBatch closes a batch when either limit hits). Rows alone
+  is wrong twice over: tiny batches (64 rows) spend so much time in
+  per-batch JVM<->Python overhead that 2->8-core scaling efficiency
+  drops from 0.97 to 0.72 (measured, BENCH/BASELINE.md), while
+  unbounded-byte batches of multi-MB CC pages would hold GBs per
+  Python worker. The byte cap keeps heavy-tailed pages safe at any
+  row cap.
 - shuffle partitions default to 2x cores locally; on a real cluster this
   is overridden to ~2-3x total executor cores.
 """
@@ -18,7 +24,8 @@ from pyspark.sql import SparkSession
 def get_spark(cores: int | None = None,
               shuffle_partitions: int | None = None,
               app_name: str = "defuddle-spark",
-              arrow_batch_rows: int = 64) -> SparkSession:
+              arrow_batch_rows: int = 512,
+              arrow_batch_bytes: int = 32 * 1024 * 1024) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -32,6 +39,7 @@ def get_spark(cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_batch_bytes))
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
