@@ -36,6 +36,20 @@ RETRY_WORD_THRESHOLD = 200  # defuddle.go:141
 
 _ENTRY_SELECTORS = [compile_selector(s) for s in constants.ENTRY_POINT_ELEMENTS
                     if s != "body"]
+
+# Hand-coded dispatch tables for the 14 non-body entry selectors (all are
+# simple compounds: #id, .class, tag, or [role="..."]). Index = priority
+# order in constants.ENTRY_POINT_ELEMENTS. A differential test pins these
+# against the compiled selector engine (tests/test_kernel.py).
+_ENTRY_IDS = {"post": 0, "article-content": 3}
+_ENTRY_CLASSES = {
+    "post-content": 1, "article-content": 2, "article_post": 4,
+    "article-wrapper": 5, "entry-content": 6, "content-article": 7,
+    "post": 8, "markdown-body": 9,
+}
+_ENTRY_TAGS = {"article": 10, "main": 12}
+_ENTRY_ROLES = {"article": 11, "main": 13}
+_N_ENTRIES = 14
 from .selectors import SelectorGroup  # noqa: E402
 
 _EXACT_GROUP = SelectorGroup(constants.EXACT_SELECTORS)
@@ -171,11 +185,30 @@ def find_main_content(doc: Document) -> Optional[Element]:
     # the reference's per-selector querySelector sweeps: each selector's
     # winner is its first doc-order match, then the first selector with
     # any match wins — defuddle.go:649-663).
-    matches: list = [None] * len(_ENTRY_SELECTORS)
-    remaining = len(_ENTRY_SELECTORS)
+    matches: list = [None] * _N_ENTRIES
+    remaining = _N_ENTRIES
+    tag_tbl, id_tbl = _ENTRY_TAGS, _ENTRY_IDS
+    cls_tbl, role_tbl = _ENTRY_CLASSES, _ENTRY_ROLES
     for el in doc.html.descendants():
-        for i, sel in enumerate(_ENTRY_SELECTORS):
-            if matches[i] is None and sel.match(el):
+        i = tag_tbl.get(el.tag)
+        if i is not None and matches[i] is None:
+            matches[i] = el
+            remaining -= 1
+        for k, v in el.attrs:
+            if k == "id":
+                i = id_tbl.get(v)
+            elif k == "class":
+                for token in v.split():
+                    j = cls_tbl.get(token)
+                    if j is not None and matches[j] is None:
+                        matches[j] = el
+                        remaining -= 1
+                continue
+            elif k == "role":
+                i = role_tbl.get(v)
+            else:
+                continue
+            if i is not None and matches[i] is None:
                 matches[i] = el
                 remaining -= 1
         if matches[0] is not None or remaining == 0:

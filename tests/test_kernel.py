@@ -459,3 +459,57 @@ def test_retry_still_runs_when_partials_removed():
     r = extract_document(html)
     assert r.retry_used
     assert "Recovered paragraph" in r.content
+
+
+def test_entry_point_tables_match_selector_engine():
+    """The hand-coded entry-point dispatch must agree with the compiled
+    selector engine for every selector on a page exercising them all."""
+    from defuddle_spark import constants, kernel as K
+    from defuddle_spark.dom import parse
+    from defuddle_spark.selectors import compile_selector
+
+    html = """<html><body>
+      <div role="main">role-main</div>
+      <div class="entry-content extra">classes</div>
+      <div id="article-content">by-id</div>
+      <article><p>a</p></article>
+      <main><p>m</p></main>
+      <section role="article">ra</section>
+      <div class="post-content">pc</div><div class="post">p</div>
+      <div class="markdown-body">mb</div><div class="article_post">ap</div>
+      <div class="article-wrapper">aw</div><div class="content-article">ca</div>
+      <div class="article-content">ac2</div><div id="post">idpost</div>
+      <span class="postx">no</span><div role="mainx">no</div>
+    </body></html>"""
+    doc = parse(html)
+    selectors = [s for s in constants.ENTRY_POINT_ELEMENTS if s != "body"]
+    # engine answer: first doc-order match per selector
+    engine = []
+    for s in selectors:
+        sel = compile_selector(s)
+        engine.append(next((e for e in doc.html.descendants()
+                            if sel.match(e)), None))
+    # table answer: replicate find_main_content's walk without early exit
+    matches = [None] * K._N_ENTRIES
+    for el in doc.html.descendants():
+        i = K._ENTRY_TAGS.get(el.tag)
+        if i is not None and matches[i] is None:
+            matches[i] = el
+        for k, v in el.attrs:
+            if k == "id":
+                i = K._ENTRY_IDS.get(v)
+            elif k == "class":
+                for token in v.split():
+                    j = K._ENTRY_CLASSES.get(token)
+                    if j is not None and matches[j] is None:
+                        matches[j] = el
+                continue
+            elif k == "role":
+                i = K._ENTRY_ROLES.get(v)
+            else:
+                continue
+            if i is not None and matches[i] is None:
+                matches[i] = el
+    assert matches == engine
+    # and the public function picks the highest-priority hit
+    assert K.find_main_content(doc) is engine[0] or engine[0] is None
