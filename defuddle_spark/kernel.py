@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from typing import Any, List, Optional
 
 from . import constants, metadata, schema_org, scoring
-from .dom import Document, Element, clone_document, parse
+from .dom import Document, Element, parse
 from .selectors import compile_selector, find_all, find_first
 from .standardize import standardize_content
 
@@ -500,12 +500,14 @@ def extract_document(html_str: str, url: str = "",
                      options: Optional[Options] = None) -> Result:
     """Full Parse() with the word-count retry loop (defuddle.go:133-169).
 
-    Output-equivalent restructuring of the reference's retry: parse once,
-    compute schema/meta/metadata once on the pristine tree (the reference
-    recomputes identical values from a fresh parse), run each pass on a
-    deep clone (~5x cheaper than re-parsing). A pass that used a site
-    extractor skips the retry: the reference's retry would re-dispatch the
-    same extractor, yield an equal word count, and keep the first result.
+    Output-equivalent restructuring of the reference's retry: compute
+    schema/meta/metadata once on the pristine tree (the reference
+    recomputes identical values from a fresh parse), run the first pass
+    directly on that tree, and re-parse from source only if a retry
+    actually fires (the reference re-parses for both passes). A pass that
+    used a site extractor skips the retry: the reference's retry would
+    re-dispatch the same extractor, yield an equal word count, and keep
+    the first result.
     """
     if options is None:
         options = Options()
@@ -517,8 +519,10 @@ def extract_document(html_str: str, url: str = "",
         meta = metadata.extract(doc0.html, schema_items, meta_tags, options.url)
         pre = (schema_items, meta_tags, meta)
 
-        result = _parse_internal(html_str, options,
-                                 _doc=clone_document(doc0), _pre=pre)
+        # First pass mutates doc0 in place — the retry (rare: needs BOTH a
+        # short result AND actual partial-selector removals) re-parses the
+        # pristine tree from source, exactly like the reference.
+        result = _parse_internal(html_str, options, _doc=doc0, _pre=pre)
         # Retry-skip fast path: the retry differs from the first pass ONLY
         # by remove_partial_selectors=False. If the first pass's partial
         # branch removed zero elements, the retry pipeline is bit-identical
@@ -530,8 +534,7 @@ def extract_document(html_str: str, url: str = "",
             import dataclasses
             retry_opts = dataclasses.replace(
                 options, remove_partial_selectors=False)
-            retry = _parse_internal(html_str, retry_opts,
-                                    _doc=clone_document(doc0), _pre=pre)
+            retry = _parse_internal(html_str, retry_opts, _pre=pre)
             if retry.word_count > result.word_count:
                 retry.retry_used = True
                 return retry
