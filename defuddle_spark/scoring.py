@@ -67,7 +67,7 @@ class _SubtreeStats:
         parts = []
         p = a = img = table = lists = 0
         has_inline = has_list = False
-        stack = list(reversed(el.children))
+        stack = el.children[::-1]
         while stack:
             node = stack.pop()
             t = node.type
@@ -92,7 +92,9 @@ class _SubtreeStats:
                     has_inline = True
                 if not has_list and _FOOTNOTE_LISTS_GROUP.matches(node):
                     has_list = True
-            stack.extend(reversed(node.children))
+            cs = node.children
+            if cs:
+                stack.extend(cs[::-1])
         self.text = "".join(parts)
         self.words = len(self.text.split())
         self.p, self.a, self.img, self.table, self.lists = p, a, img, table, lists

@@ -250,29 +250,32 @@ class SelectorGroup:
     required ancestor was already detached is itself detached. This turns
     the reference's per-selector sweeps (defuddle.go:780-787, ~150 walks)
     into a single walk without changing output.
+
+    Routing index: each chain is registered under exactly one cheap key
+    (head tag, #id value, first class token, or one required attribute
+    name); ``Chain.match`` re-verifies the full compound, so the index is
+    only a gate — weaker keys cost wasted match calls, never wrong answers.
     """
 
-    __slots__ = ("by_tag", "universal_attr", "universal_always")
+    __slots__ = ("by_tag", "by_id", "by_class", "by_attr", "universal_always")
 
     def __init__(self, selectors: Iterable[str]) -> None:
         self.by_tag: dict = {}
-        self.universal_attr: List[Tuple[frozenset, Chain]] = []
+        self.by_id: dict = {}
+        self.by_class: dict = {}
+        self.by_attr: dict = {}
         self.universal_always: List[Chain] = []
         for s in selectors:
             for chain in compile_selector(s).chains:
                 head = chain.steps[0][0]
                 if head.tag is not None and head.tag != "*":
                     self.by_tag.setdefault(head.tag, []).append(chain)
-                    continue
-                required = set()
-                if head.sid is not None:
-                    required.add("id")
-                if head.classes:
-                    required.add("class")
-                for name, _op, _val, _ci in head.attrs:
-                    required.add(name)
-                if required:
-                    self.universal_attr.append((frozenset(required), chain))
+                elif head.sid is not None:
+                    self.by_id.setdefault(head.sid, []).append(chain)
+                elif head.classes:
+                    self.by_class.setdefault(head.classes[0], []).append(chain)
+                elif head.attrs:
+                    self.by_attr.setdefault(head.attrs[0][0], []).append(chain)
                 else:
                     self.universal_always.append(chain)
 
@@ -280,11 +283,20 @@ class SelectorGroup:
         for chain in self.by_tag.get(el.tag, ()):
             if chain.match(el):
                 return True
-        if self.universal_attr:
-            names = {k for k, _ in el.attrs}
-            if names:
-                for required, chain in self.universal_attr:
-                    if required <= names and chain.match(el):
+        by_id, by_class, by_attr = self.by_id, self.by_class, self.by_attr
+        for k, v in el.attrs:
+            if by_id and k == "id":
+                for chain in by_id.get(v, ()):
+                    if chain.match(el):
+                        return True
+            if by_class and k == "class":
+                for token in v.split():
+                    for chain in by_class.get(token, ()):
+                        if chain.match(el):
+                            return True
+            if by_attr:
+                for chain in by_attr.get(k, ()):
+                    if chain.match(el):
                         return True
         for chain in self.universal_always:
             if chain.match(el):

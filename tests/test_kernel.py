@@ -513,3 +513,33 @@ def test_entry_point_tables_match_selector_engine():
     assert matches == engine
     # and the public function picks the highest-priority hit
     assert K.find_main_content(doc) is engine[0] or engine[0] is None
+
+
+def test_selector_group_routing_matches_bruteforce():
+    """The SelectorGroup routing index (tag/id/class/attr buckets) must
+    agree with brute-force any(selector matches) for the real selector
+    tables on elements exercising every bucket."""
+    from defuddle_spark import constants
+    from defuddle_spark.dom import parse
+    from defuddle_spark.selectors import SelectorGroup, compile_selector
+
+    tables = [constants.EXACT_SELECTORS,
+              constants.FOOTNOTE_INLINE_REFERENCES,
+              constants.FOOTNOTE_LIST_SELECTORS]
+    html = """<html><body>
+      <nav>n</nav><footer>f</footer><aside>a</aside>
+      <div class="ad extra">ad</div><div class="sidebar">s</div>
+      <div id="comments">c</div><ol class="footnotes"><li>x</li></ol>
+      <a href="#fn:1">1</a><sup class="footnote">2</sup>
+      <a rel="footnote">3</a><div role="doc-endnotes">e</div>
+      <section id="fn:2">fn</section><span data-component="x">d</span>
+      <p class="nice">keep</p><article>body</article>
+      <form>f</form><iframe src="https://www.youtube.com/embed/x"></iframe>
+    </body></html>"""
+    doc = parse(html)
+    for table in tables:
+        group = SelectorGroup(table)
+        compiled = [compile_selector(s) for s in table]
+        for el in doc.html.descendants():
+            brute = any(c.match(el) for c in compiled)
+            assert group.matches(el) == brute, (el.tag, el.attrs)
