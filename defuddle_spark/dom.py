@@ -787,6 +787,20 @@ class _TreeBuilder(HTMLParser):
             if not self.body_started and tag not in HEAD_ELEMENTS:
                 self._start_body()
 
+        # "In body" table-structure start tags with no open table are
+        # parse errors and IGNORED (spec 13.2.6.4.7; x/net/html inBodyIM
+        # Caption/Col/Colgroup/Frame/Tbody/Td/Tfoot/Th/Thead/Tr case).
+        if tag in ("caption", "col", "colgroup", "frame", "tbody", "td",
+                   "tfoot", "th", "thead", "tr"):
+            for e in reversed(self.stack):
+                t = e.tag
+                if t == "table":
+                    break
+                if t in ("body", "html", "#fragment"):
+                    return
+            else:
+                return
+
         self._implied_close(tag)
 
         # "in table" <table> start tag: a new table closes the open one

@@ -57,3 +57,48 @@ def test_kernel_never_raises_on_text(s)  :
 def test_kernel_never_raises_on_bytes(b):
     r = extract_document_bytes(b, url="https://fuzz.test/x")
     assert r is not None
+
+
+# -- tag soup: unbalanced/misnested markup (adoption agency + foster) --------
+
+_soup_tags = ["div", "p", "b", "i", "a", "em", "code", "u", "span",
+              "table", "tr", "td", "ul", "li", "button", "section"]
+
+_soup_piece = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _soup_tags]),
+    st.sampled_from([f"</{t}>" for t in _soup_tags]),
+    st.sampled_from(['<b class="x">', '<a href="/y">', '<i id="z">']),
+    st.text(alphabet="xy 1", min_size=1, max_size=3),
+)
+
+# <a> excluded from the FIXPOINT property only: the in-body <a> rule runs
+# the adoption agency on any open <a>, so a tree where one <a> legally
+# contains blocks containing another <a> (AAA output) restructures again
+# on every reparse — HTML5 parsing is genuinely non-idempotent there
+# (x/net/html behaves identically). Crash-totality below still covers <a>.
+_fixpoint_piece = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _soup_tags if t != "a"]),
+    st.sampled_from([f"</{t}>" for t in _soup_tags if t != "a"]),
+    st.sampled_from(['<b class="x">', '<i id="z">']),
+    st.text(alphabet="xy 1", min_size=1, max_size=3),
+)
+
+
+@given(st.lists(_fixpoint_piece, max_size=25))
+@settings(max_examples=300, deadline=None)
+def test_tag_soup_parse_is_total_and_fixpoint(pieces):
+    """Arbitrary misnested/unbalanced markup must (a) never raise and
+    (b) produce a tree whose serialization reparses to itself — the
+    adoption agency / foster parenting output is itself well-formed."""
+    soup = "".join(pieces)
+    once = parse(f"<html><body>{soup}</body></html>").body.inner_html()
+    twice = parse(f"<html><body>{once}</body></html>").body.inner_html()
+    assert once == twice
+
+
+@given(st.lists(_soup_piece, max_size=25))
+@settings(max_examples=100, deadline=None)
+def test_tag_soup_extraction_never_raises(pieces):
+    soup = "".join(pieces)
+    r = extract_document(f"<html><body><article>{soup}</article></body></html>")
+    assert r.error is None or isinstance(r.error, str)

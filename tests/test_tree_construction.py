@@ -89,3 +89,20 @@ def test_extraction_survives_misnesting():
     assert "Readable paragraph text" in r.extracted_text
     assert "tail" in r.extracted_text
     assert "Home" not in r.extracted_text
+
+
+ORPHAN_TABLE_TAG_CASES = [
+    # table-structure tags with no open table are ignored (in-body rule)
+    ("<b><tr></b>", "<b></b>"),
+    ("<td>cell</td>text", "celltext"),
+    ("x<tbody>y", "xy"),
+    ("<div><th>h</th></div>", "<div>h</div>"),
+    # ...but with a table open they work, even from inside a cell
+    ("<table><td>a<tr><td>b</td></tr></table>",
+     "<table><tbody><tr><td>a</td></tr><tr><td>b</td></tr></tbody></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", ORPHAN_TABLE_TAG_CASES)
+def test_orphan_table_structure_tags_ignored(src, want):
+    assert body_of(src) == want
