@@ -800,6 +800,18 @@ class _TreeBuilder(HTMLParser):
                     return
             else:
                 return
+            # "Clear the stack back to a table context": pop fostered /
+            # phrasing elements sitting above the table machinery so the
+            # row/cell goes into the table, not into a fostered element
+            # (spec 13.2.6.4.9 "clear ... back to a table context").
+            stack = self.stack
+            i = len(stack) - 1
+            while stack[i].tag not in (
+                    "table", "tbody", "thead", "tfoot", "tr", "td", "th",
+                    "caption", "template", "body", "html", "#fragment"):
+                i -= 1
+            if i < len(stack) - 1:
+                self._truncate(i + 1)
 
         self._implied_close(tag)
 
