@@ -756,6 +756,19 @@ class _TreeBuilder(HTMLParser):
                     break
         closers = _IMPLIED_END.get(tag)
         if closers:
+            if tag in ("li", "dd", "dt"):
+                # Spec li/dd/dt loop (13.2.6.4.7): close a matching open
+                # item, but STOP at any special element other than
+                # address/div/p — an item inside e.g. <section> is not
+                # closed by a new item outside it.
+                for i in range(len(self.stack) - 1, -1, -1):
+                    t = self.stack[i].tag
+                    if t in closers:
+                        self._truncate(i)
+                        return
+                    if t in _SPECIAL and t not in ("address", "div", "p"):
+                        return
+                return
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t in closers:

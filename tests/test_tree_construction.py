@@ -106,3 +106,24 @@ ORPHAN_TABLE_TAG_CASES = [
 @pytest.mark.parametrize("src,want", ORPHAN_TABLE_TAG_CASES)
 def test_orphan_table_structure_tags_ignored(src, want):
     assert body_of(src) == want
+
+
+LIST_ITEM_BOUNDARY_CASES = [
+    # li/dd/dt close a matching open item...
+    ("<ul><li>a<li>b</ul>", "<ul><li>a</li><li>b</li></ul>"),
+    # ...popping open phrasing along the way (it stays in the tree)...
+    ("<li>a<span><li>b", "<li>a<span></span></li><li>b</li>"),
+    # ...and div/address do not shield the open item...
+    ("<ul><li>a<div><li>b</div></ul>",
+     "<ul><li>a<div></div></li><li>b</li></ul>"),
+    # ...but any other special element does (spec li/dd/dt loop boundary)
+    ("<ul><li>a<section><li>b</section></li></ul>",
+     "<ul><li>a<section><li>b</li></section></li></ul>"),
+    ("<dl><dt>a<blockquote><dd>b</blockquote></dl>",
+     "<dl><dt>a<blockquote><dd>b</dd></blockquote></dt></dl>"),
+]
+
+
+@pytest.mark.parametrize("src,want", LIST_ITEM_BOUNDARY_CASES)
+def test_list_item_special_boundaries(src, want):
+    assert body_of(src) == want
