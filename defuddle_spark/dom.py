@@ -828,6 +828,12 @@ class _TreeBuilder(HTMLParser):
 
         self._implied_close(tag)
 
+        # A heading start tag pops a heading CURRENT node (spec in-body
+        # h1-h6: only the current node is checked, not the whole stack).
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6") and \
+                self.stack[-1].tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self._truncate(len(self.stack) - 1)
+
         # "in table" <table> start tag: a new table closes the open one
         # unless we are inside a cell/caption (spec 13.2.6.4.9).
         if tag == "table":
@@ -916,6 +922,10 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
+        if tag == "br":
+            # Spec in-body </br>: parse error; act as a <br> start tag.
+            self.handle_starttag("br", [])
+            return
         if tag in VOID_ELEMENTS:
             return
         if not self.fragment and tag in ("html", "body", "head"):
@@ -924,6 +934,30 @@ class _TreeBuilder(HTMLParser):
             return
         if tag in _FORMATTING and not self.svg_flags[-1]:
             self._adoption_agency(tag)
+            return
+        if tag == "p" and not self.svg_flags[-1]:
+            # Spec in-body </p>: close a p in BUTTON scope; with none
+            # open, insert an empty <p> and close it immediately.
+            for i in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    self._truncate(i)
+                    return
+                if t in _DEFAULT_SCOPE_STOP or t == "button":
+                    break
+            self._insert_element(Element("p"))
+            return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6") \
+                and not self.svg_flags[-1]:
+            # Spec in-body heading end tag: ANY open heading in scope is
+            # closed by any heading end tag (</h3> closes an <h1>).
+            for i in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[i].tag
+                if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                    self._truncate(i)
+                    return
+                if t in _DEFAULT_SCOPE_STOP:
+                    return
             return
         if tag not in _SPECIAL and tag not in _SVG_TAG_ADJUST \
                 and self.svg_flags[-1] is False:

@@ -127,3 +127,21 @@ LIST_ITEM_BOUNDARY_CASES = [
 @pytest.mark.parametrize("src,want", LIST_ITEM_BOUNDARY_CASES)
 def test_list_item_special_boundaries(src, want):
     assert body_of(src) == want
+
+
+END_TAG_RULE_CASES = [
+    # a heading start tag pops a heading CURRENT node only
+    ("<h1>a<h2>b</h2>", "<h1>a</h1><h2>b</h2>"),
+    ("<h1>a<b><h2>b", "<h1>a<b><h2>b</h2></b></h1>"),
+    # any heading end tag closes any open heading in scope
+    ("<h1>x</h3>y", "<h1>x</h1>y"),
+    # stray </p> inserts an empty paragraph
+    ("<p>x</p></p>y", "<p>x</p><p></p>y"),
+    # </br> acts as a <br> start tag
+    ("a</br>b", "a<br/>b"),
+]
+
+
+@pytest.mark.parametrize("src,want", END_TAG_RULE_CASES)
+def test_in_body_end_tag_rules(src, want):
+    assert body_of(src) == want
