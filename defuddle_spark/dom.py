@@ -20,6 +20,7 @@ behaves the same way.
 
 from __future__ import annotations
 
+from html import unescape as _unescape
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
@@ -477,6 +478,14 @@ def _render(node: Node, out: list, parent_raw: bool) -> None:
 class _TreeBuilder(HTMLParser):
     """HTML5-ish tree builder (pragmatic subset of the spec)."""
 
+    # html.parser raw-content mode. script/style are CDATA (raw); title/
+    # textarea are RCDATA per spec — raw EXCEPT character references,
+    # which handle_data decodes below. Without this, markup-looking text
+    # inside <title>/<textarea> is parsed as real elements (x/net/html
+    # treats both as text-only).
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+    _RCDATA_ELEMENTS = ("title", "textarea")
+
     def __init__(self, fragment: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.fragment = fragment
@@ -780,6 +789,8 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
+        if tag == "image" and not self.svg_flags[-1]:
+            tag = "img"  # spec in-body: <image> is retagged to <img>
         if not self.fragment:
             if tag == "html":
                 for k, v in attrs:
@@ -974,6 +985,8 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
+        if self.cdata_elem in self._RCDATA_ELEMENTS:
+            data = _unescape(data)
         if not self.fragment and not self.body_started:
             cur = self._cur()
             if cur is self.head:

@@ -145,3 +145,17 @@ END_TAG_RULE_CASES = [
 @pytest.mark.parametrize("src,want", END_TAG_RULE_CASES)
 def test_in_body_end_tag_rules(src, want):
     assert body_of(src) == want
+
+
+def test_title_and_textarea_are_rcdata():
+    # markup inside <title>/<textarea> is TEXT (entities decoded), not
+    # elements; <image> is retagged to <img> in HTML but kept inside SVG
+    from defuddle_spark.dom import parse
+    d = parse("<html><head><title>A &amp; B <b>t</title></head>"
+              "<body><textarea><b>x</b>&amp;</textarea>"
+              "<image src='i.png'><svg><image href='v'/></svg></body></html>")
+    title = next(e for e in d.head.descendants() if e.tag == "title")
+    assert title.text() == "A & B <b>t"
+    assert d.body.inner_html() == (
+        "<textarea>&lt;b&gt;x&lt;/b&gt;&amp;</textarea>"
+        '<img src="i.png"/><svg><image href="v"></image></svg>')
