@@ -463,6 +463,12 @@ def _render(node: Node, out: list, parent_raw: bool) -> None:
         out.append("/>")
         return
     out.append(">")
+    # x/net/html render: re-emit the parse-dropped newline so a
+    # pre/listing/textarea whose text begins with "\n" round-trips
+    if tag in ("pre", "listing", "textarea"):
+        kids = node.children
+        if kids and kids[0].type == TEXT and kids[0].data.startswith("\n"):
+            out.append("\n")
     raw = tag in RAW_TEXT_ELEMENTS
     for c in node.children:
         _render(c, out, raw)
@@ -987,6 +993,15 @@ class _TreeBuilder(HTMLParser):
             return
         if self.cdata_elem in self._RCDATA_ELEMENTS:
             data = _unescape(data)
+        # spec: a newline immediately after <pre>/<listing>/<textarea>
+        # start tags is ignored (x/net/html drops it at parse time)
+        if data[0] == "\n":
+            cur0 = self._cur()
+            if cur0.tag in ("pre", "listing", "textarea") \
+                    and not cur0.children:
+                data = data[1:]
+                if not data:
+                    return
         if not self.fragment and not self.body_started:
             cur = self._cur()
             if cur is self.head:
