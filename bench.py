@@ -23,10 +23,11 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 16x replication => 80k pages at sf0.1: at 32 cores the extract query
-    # otherwise finishes in ~1s of compute + ~2s of fixed driver cost and
-    # the docs/sec figure measures the serial term, not the engine.
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))
+    # 32x replication => 160k pages at sf0.1: at 32 cores smaller corpora
+    # finish in ~1s of compute + ~2s of fixed driver cost and the docs/sec
+    # figure measures the serial term, not the engine (80k reads 15.5k/s,
+    # 160k reads 19.9k/s on the same code).
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from defuddle_spark.ops.dedup import dedup_exact, minhash_lsh_candidates
