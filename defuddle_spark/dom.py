@@ -20,6 +20,8 @@ behaves the same way.
 
 from __future__ import annotations
 
+import html.parser as _hp
+import re
 from html import unescape as _unescape
 from html.parser import HTMLParser
 from typing import Iterator, Optional
@@ -1065,11 +1067,228 @@ class Document:
         yield from self.html.descendants()
 
 
+class _TokenizeStop(Exception):
+    """Mirrors html.parser's error() abort on malformed marked sections."""
+
+
+# html.parser's own compiled regexes are reused below (_hp.*) so the fast
+# tokenizer and the stdlib path share identical token boundaries.
+_markedsectionclose = re.compile(r"]\s*]\s*>")
+_msmarkedsectionclose = re.compile(r"]\s*>")
+_declname = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_cdata_close_cache: dict = {}
+
+
+def _cdata_close(elem: str):
+    rx = _cdata_close_cache.get(elem)
+    if rx is None:
+        rx = re.compile(r"</\s*%s\s*>" % elem, re.IGNORECASE)
+        _cdata_close_cache[elem] = rx
+    return rx
+
+
+def _fast_tokenize(b: "_TreeBuilder", s: str) -> None:
+    """One-pass tokenizer, event-identical to HTMLParser.feed(s)+close().
+
+    Re-implements goahead/parse_starttag/parse_endtag/... from
+    html.parser (3.11) with position arithmetic and no incremental-feed
+    bookkeeping (updatepos, rawdata buffering, incomplete-charref
+    deferral — all no-ops when the whole document is in hand). A
+    differential fuzz test pins event streams against the stdlib path.
+    """
+    n = len(s)
+    i = 0
+    find = s.find
+    startswith = s.startswith
+    handle_data = b.handle_data
+    b.cdata_elem = None  # single source of truth for CDATA/RCDATA mode
+    cdata_set = b.CDATA_CONTENT_ELEMENTS
+
+    while i < n:
+        # -- data up to the next interesting position --
+        cdata_elem = b.cdata_elem
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                seg = s[i:j]
+                # handle_data sees unescaped text (convert_charrefs=True);
+                # html.unescape is identity without '&', skip the call
+                handle_data(_unescape(seg) if "&" in seg else seg)
+        else:
+            m = _cdata_close(cdata_elem).search(s, i)
+            if m is None:
+                return  # EOF inside CDATA/RCDATA: the tail is dropped
+            j = m.start()
+            if i < j:
+                handle_data(s[i:j])
+        i = j
+        if i == n:
+            break
+
+        # -- dispatch on the construct at '<' --
+        c = s[i + 1] if i + 1 < n else ""
+        if c.isascii() and c.isalpha():
+            k = _fast_starttag(b, s, i, cdata_set)
+        elif c == "/":
+            k = _fast_endtag(b, s, i)
+        elif startswith("<!--", i):
+            m = _hp.commentclose.search(s, i + 4)
+            if m is None:
+                k = -1
+            else:
+                b.handle_comment(s[i + 4:m.start()])
+                k = m.end()
+        elif c == "?":
+            m = _hp.piclose.search(s, i + 2)
+            if m is None:
+                k = -1
+            else:
+                b.handle_pi(s[i + 2:m.start()])
+                k = m.end()
+        elif c == "!":
+            k = _fast_declaration(b, s, i)
+        elif i + 1 < n:
+            handle_data("<")
+            k = i + 1
+        else:
+            break
+        if k < 0:
+            # end-of-input recovery (goahead's end=1 branch)
+            k = find(">", i + 1)
+            if k < 0:
+                k = find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            if b.cdata_elem is None:
+                seg = s[i:k]
+                handle_data(_unescape(seg) if "&" in seg else seg)
+            else:
+                handle_data(s[i:k])
+        i = k
+    # goahead's end=1 epilogue: trailing text (e.g. a lone '<' at EOF)
+    if i < n and b.cdata_elem is None:
+        seg = s[i:n]
+        handle_data(_unescape(seg) if "&" in seg else seg)
+
+
+def _fast_starttag(b: "_TreeBuilder", s: str, i: int, cdata_set) -> int:
+    m = _hp.locatestarttagend_tolerant.match(s, i)
+    j = m.end()
+    nxt = s[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if s.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return -1  # stdlib: lone '/' here is always "buffer boundary"
+    elif nxt == "":
+        return -1
+    elif nxt in "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        return -1
+    else:
+        endpos = j if j > i else i + 1
+
+    attrs = []
+    m = _hp.tagfind_tolerant.match(s, i + 1)
+    k = m.end()
+    tag = m.group(1).lower()
+    while k < endpos:
+        am = _hp.attrfind_tolerant.match(s, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                attrvalue[:1] == '"' == attrvalue[-1:]:
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+
+    end = s[k:endpos].strip()
+    if end not in (">", "/>"):
+        b.handle_data(s[i:endpos])
+        return endpos
+    if end.endswith("/>"):
+        b.handle_startendtag(tag, attrs)
+    else:
+        b.handle_starttag(tag, attrs)
+        if tag in cdata_set:
+            b.cdata_elem = tag
+    return endpos
+
+
+def _fast_endtag(b: "_TreeBuilder", s: str, i: int) -> int:
+    m = _hp.endendtag.search(s, i + 1)
+    if not m:
+        return -1
+    gtpos = m.end()
+    m = _hp.endtagfind.match(s, i)
+    if not m:
+        if b.cdata_elem is not None:
+            b.handle_data(s[i:gtpos])
+            return gtpos
+        nm = _hp.tagfind_tolerant.match(s, i + 2)
+        if not nm:
+            if s[i:i + 3] == "</>":
+                return i + 3
+            pos = s.find(">", i + 2)
+            if pos == -1:
+                return -1
+            b.handle_comment(s[i + 2:pos])
+            return pos + 1
+        tagname = nm.group(1).lower()
+        gtpos = s.find(">", nm.end())
+        b.handle_endtag(tagname)
+        return gtpos + 1
+    elem = m.group(1).lower()
+    if b.cdata_elem is not None and elem != b.cdata_elem:
+        b.handle_data(s[i:gtpos])
+        return gtpos
+    b.handle_endtag(elem)
+    b.cdata_elem = None
+    return gtpos
+
+
+def _fast_declaration(b: "_TreeBuilder", s: str, i: int) -> int:
+    # parse_html_declaration: <!-- handled by the caller
+    if s[i:i + 3] == "<![":
+        m = _declname.match(s, i + 3)
+        sect = m.group().strip().lower() if m else ""
+        if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
+            cm = _markedsectionclose.search(s, i + 3)
+        elif sect in ("if", "else", "endif"):
+            cm = _msmarkedsectionclose.search(s, i + 3)
+        else:
+            raise _TokenizeStop  # ParserBase.error() raises -> parse aborts
+        if not cm:
+            return -1
+        b.unknown_decl(s[i + 3:cm.start()])
+        return cm.end()
+    if s[i:i + 9].lower() == "<!doctype":
+        gtpos = s.find(">", i + 9)
+        if gtpos == -1:
+            return -1
+        b.handle_decl(s[i + 2:gtpos])
+        return gtpos + 1
+    pos = s.find(">", i + 2)
+    if pos == -1:
+        return -1
+    b.handle_comment(s[i + 2:pos])
+    return pos + 1
+
+
 def parse(html_str: str) -> Document:
     builder = _TreeBuilder(fragment=False)
     try:
-        builder.feed(html_str)
-        builder.close()
+        _fast_tokenize(builder, html_str)
     except Exception:
         pass  # keep whatever tree was built; per-doc failure isolation
     return Document(builder.root, builder.html, builder.head, builder.body)
@@ -1117,8 +1336,7 @@ def clone_document(doc: Document) -> Document:
 def parse_fragment(fragment: str) -> list:
     builder = _TreeBuilder(fragment=True)
     try:
-        builder.feed(fragment)
-        builder.close()
+        _fast_tokenize(builder, fragment)
     except Exception:
         pass
     nodes = list(builder.root.children)
