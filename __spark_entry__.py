@@ -180,8 +180,20 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing view of the multimodal feature extractor.
+
+    The library API (ops/multimodal.py) keeps byte_histogram as ARRAY<INT>;
+    here it is comma-joined to a string and the float32 entropy is rounded
+    after a double cast so the driver's canonicalizer (which sorts/hashes
+    scalar cells) can compare it against the DuckDB oracle.
+    """
     from defuddle_spark.ops.multimodal import extract_features, synthesize_media
-    return extract_features(synthesize_media(spark, n=256))
+    feats = extract_features(synthesize_media(spark, n=256))
+    return feats.select(
+        "media_id", "media_type", "n_bytes",
+        F.round(F.col("byte_entropy").cast("double"), 4).alias("byte_entropy"),
+        F.array_join("byte_histogram", ",").alias("byte_histogram"),
+        "frame_count")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -202,11 +214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "multimodal_features": q_multimodal_features,
         # rows-only (probabilistic / hash-seeded, not ANSI-SQL-expressible):
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -242,7 +254,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_lang_stats": f"""
             SELECT lang, count(*) AS n_docs,
-                   sum(len({_TOKENS})) AS sum_words,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS sum_words,
                    round(avg(len({_TOKENS})), 4) AS avg_words
             FROM documents GROUP BY lang
         """,
@@ -405,9 +417,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM sessions GROUP BY 1, 2
             )
             SELECT user_id, CAST(count(*) AS INTEGER) AS n_sessions,
-                   sum(session_events) AS n_events,
+                   CAST(sum(session_events) AS BIGINT) AS n_events,
                    max(session_events) AS longest_session_events
             FROM per_session GROUP BY user_id
+        """,
+        "multimodal_features": """
+            -- mirrors ops/multimodal.py synthesize_media + extract_features:
+            -- payload = md5('media-'||i) digest repeated (64+(i%7)*32) times,
+            -- sliced to 1024+(i%5)*512 bytes (python slicing truncates, so the
+            -- real length is the MIN of the two); the byte length is a multiple
+            -- of 16, so the high-nibble histogram is reps x the digest's own
+            -- hex-digit counts at odd hex positions.
+            WITH m AS (
+                SELECT i AS media_id,
+                       ['image','audio','video'][CAST(i % 3 AS INTEGER) + 1] AS media_type,
+                       md5('media-' || CAST(i AS VARCHAR)) AS hx,
+                       1024 + least(i % 5, i % 7) * 512 AS n_bytes
+                FROM range(256) t(i)
+            ), hist AS (
+                SELECT *, list_transform(range(16), h ->
+                           (n_bytes // 16) * len(list_filter(
+                               list_transform(range(16), j -> substr(hx, CAST(2*j+1 AS INTEGER), 1)),
+                               c -> c = substr('0123456789abcdef', CAST(h+1 AS INTEGER), 1)))) AS hist16
+                FROM m
+            )
+            SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+                   CAST(n_bytes AS INTEGER) AS n_bytes,
+                   round(-list_sum(list_transform(list_filter(hist16, c -> c > 0),
+                         c -> (c::DOUBLE / n_bytes) * log2(c::DOUBLE / n_bytes))), 4) AS byte_entropy,
+                   array_to_string(hist16, ',') AS byte_histogram,
+                   CAST(n_bytes // 256 AS INTEGER) AS frame_count
+            FROM hist
         """,
         "ann_cosine_topk": """
             SELECT vec_id,
