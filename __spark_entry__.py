@@ -92,6 +92,38 @@ def q_extract_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "n_docs", "sum_words", "avg_words"))
 
 
+def q_extract_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findContentByScoring path (C4/C5): pages with no entry-point selector
+    and no table; the div/section scorer must pick the article div."""
+    from defuddle_spark.spark.pages import synthesize_scored_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_scored_pages(spark, sf_dir)
+    return (extract_pages(pages.select("url", "html"), with_routing_column=False)
+            .select("url", "title", "extracted_text", "word_count"))
+
+
+def q_extract_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findTableBasedContent path (C3): no entry selectors; the middle td of
+    a width-800 layout table must win the cell scorer."""
+    from defuddle_spark.spark.pages import synthesize_table_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_table_pages(spark, sf_dir)
+    return (extract_pages(pages.select("url", "html"), with_routing_column=False)
+            .select("url", "title", "extracted_text", "word_count"))
+
+
+def q_extract_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<200-word retry loop (C6): a partial-selector byline is removed on
+    the first pass; short docs retry without partial selectors and keep it.
+    retry_used is part of the asserted output so the oracle's CASE on token
+    count checks the threshold itself."""
+    from defuddle_spark.spark.pages import synthesize_retry_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_retry_pages(spark, sf_dir)
+    return (extract_pages(pages.select("url", "html"), with_routing_column=False)
+            .select("url", "title", "extracted_text", "word_count", "retry_used"))
+
+
 def q_extract_hackernews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractor routing through the driver gate: synthesized HN item pages
     → HackerNews extractor; every output column predictable in SQL."""
@@ -202,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": q_extract_metadata,
         "extract_flatten": q_extract_flatten,
         "extract_lang_stats": q_extract_lang_stats,
+        "extract_scored": q_extract_scored,
+        "extract_table": q_extract_table,
+        "extract_retry": q_extract_retry,
         "extract_hackernews": q_extract_hackernews,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -227,6 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from defuddle_spark.spark.pages import (RETRY_BYLINE as _RETRY_BYLINE,
+                                            RETRY_FILLER as _RETRY_FILLER)
     stop = ",".join(f"'{w}'" for w in [
         "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
         "for", "on", "with", "as", "was", "at", "by", "be", "this", "are",
@@ -257,6 +294,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({_TOKENS})) AS BIGINT) AS sum_words,
                    round(avg(len({_TOKENS})), 4) AS avg_words
             FROM documents GROUP BY lang
+        """,
+        "extract_scored": f"""
+            SELECT 'https://scored.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title, text AS extracted_text, {_WC} AS word_count
+            FROM documents WHERE len({_TOKENS}) >= 41
+        """,
+        "extract_table": f"""
+            SELECT 'https://tabular.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title, text AS extracted_text, {_WC} AS word_count
+            FROM documents WHERE len({_TOKENS}) >= 35
+        """,
+        "extract_retry": f"""
+            -- the retry threshold itself is part of the oracle: docs whose
+            -- first-pass word count (text + filler for doc_id%4=0) is < 200
+            -- keep the partial-selector byline via the retry; docs at or
+            -- above 200 keep the first-pass result (byline removed)
+            WITH base AS (
+                SELECT *,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN text || '{_RETRY_FILLER}' ELSE text END AS body_text
+                FROM documents
+            ), pass1 AS (
+                SELECT *, len(regexp_split_to_array(trim(body_text), '\\s+')) AS wc0
+                FROM base
+            )
+            SELECT 'https://short.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title,
+                   CASE WHEN wc0 < 200
+                        THEN body_text || '{_RETRY_BYLINE}' ELSE body_text END AS extracted_text,
+                   CASE WHEN wc0 < 200
+                        THEN CAST(len(regexp_split_to_array(trim(body_text || '{_RETRY_BYLINE}'), '\\s+')) AS INTEGER)
+                        ELSE CAST(wc0 AS INTEGER) END AS word_count,
+                   wc0 < 200 AS retry_used
+            FROM pass1
         """,
         "extract_hackernews": f"""
             SELECT 'https://news.ycombinator.com/item?id=' || CAST(doc_id AS VARCHAR) AS url,

@@ -125,6 +125,116 @@ def pages_only(df: DataFrame) -> DataFrame:
     return df.select(*PAGES_COLUMNS)
 
 
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+
+
+def synthesize_scored_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages that exercise findContentByScoring (C4/C5, defuddle.go:742-749,
+    scorer.go:325-434): NO entry-point selector matches (no article/main/
+    role/entry id/class) and no table, so selection falls through to the
+    div/section scorer. The single bare content div scores
+    words + 10 (one <p>) with no deductions; docs are filtered to
+    >= 41 tokens so the score strictly exceeds the 50 threshold and the
+    winner is SQL-predictable. Clutter lives in non-div tags (header/nav/
+    aside/footer) so it never enters the candidate list.
+    """
+    docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") >= 41)
+    url = F.concat(F.lit("https://scored.example.test/"), F.col("lang"),
+                   F.lit("/"), F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    html_str = F.concat(
+        F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"><title>'),
+        title, F.lit("</title></head><body>"),
+        F.lit('<header><div class="logo">Example Docs</div></header>'
+              '<nav><a href="/">Home</a><a href="/archive">Archive</a></nav>'),
+        F.lit("<div><p>"), F.col("text"), F.lit("</p></div>"),
+        F.lit('<aside class="sidebar">Trending: <a href="/p1">One</a></aside>'
+              "<footer>© 2024 Example Docs. All rights reserved.</footer>"
+              "</body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+def synthesize_table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages that exercise findTableBasedContent (C3, defuddle.go:714-732):
+    no entry-point selectors; a 1990s table layout (width=800 > 400 marks it
+    a layout table) whose MIDDLE td carries the article. The middle cell
+    scores words + 10 (one <p>) + 10 (interior-cell bonus); docs are
+    filtered to >= 35 tokens so the best cell strictly clears the 50
+    threshold while the rail cells (2 words each) never compete.
+    """
+    docs = _docs_with_tokens(spark, sf_dir).filter(F.col("n_tokens") >= 35)
+    url = F.concat(F.lit("https://tabular.example.test/"), F.col("lang"),
+                   F.lit("/"), F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    html_str = F.concat(
+        F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"><title>'),
+        title, F.lit("</title></head><body>"),
+        F.lit('<header><div class="logo">Example Docs</div></header>'),
+        F.lit('<table width="800"><tr><td>Left rail</td><td><p>'),
+        F.col("text"),
+        F.lit("</p></td><td>Right rail</td></tr></table>"),
+        F.lit("<footer>© 2024 Example Docs</footer></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+# Byline text used by the retry archetype; the oracle concatenates it
+# verbatim (no separator: Element.text() joins adjacent blocks without one).
+RETRY_BYLINE = "Reviewed with care by Synthetic Author"
+# Fixed 200-token paragraph pushing every 4th retry-archetype doc past the
+# retry threshold, so the oracle asserts BOTH sides of `word_count < 200`.
+RETRY_FILLER = " ".join(["pad"] * 200)
+
+
+def synthesize_retry_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages that exercise the real <200-word retry loop (C6,
+    defuddle.go:133-169) rather than its provably-identical skip path:
+    the article carries a div removable ONLY by the PARTIAL selector list
+    ("byline" is a partial pattern, not an exact selector and not removed
+    by ScoreAndRemove — its text has no navigation indicators). First pass
+    removes it (partial_removals > 0); when the remaining word count is
+    < 200 the retry re-runs WITHOUT partial selectors and keeps the byline,
+    winning on word count. Every 4th doc gets a fixed 200-token filler
+    paragraph so it lands ABOVE the threshold, keeps the first-pass result
+    (byline removed, retry_used false), and the oracle's CASE asserts the
+    threshold from both sides.
+    """
+    docs = _docs_with_tokens(spark, sf_dir)
+    url = F.concat(F.lit("https://short.example.test/"), F.col("lang"),
+                   F.lit("/"), F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    filler_p = F.when(F.col("doc_id") % 4 == 0,
+                      F.lit(f"<p>{RETRY_FILLER}</p>")).otherwise(F.lit(""))
+    html_str = F.concat(
+        F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"><title>'),
+        title, F.lit("</title></head><body>"),
+        F.lit("<header>H</header><nav>N</nav><article><h1>"), title,
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"), filler_p,
+        F.lit(f'<div class="byline">{RETRY_BYLINE}</div></article>'),
+        F.lit("<footer>F</footer></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
 def synthesize_hn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hacker News item pages (extractor-routing archetype, FIXTURES.md #13).
 

@@ -126,3 +126,38 @@ def test_size_tiered_giant_routing(spark):
                                      salt_partitions=8).collect()}
     assert plain == tiered
     assert len(tiered) == 60
+
+
+def test_selection_path_archetypes(spark):
+    """The scoring (C4/C5), table (C3), and retry (C6) selection paths,
+    end-to-end through the Spark pipeline — not just kernel unit tests.
+    Mirrors the driver-gate oracles for extract_scored/table/retry."""
+    from defuddle_spark.spark.pages import (
+        RETRY_BYLINE, synthesize_retry_pages, synthesize_scored_pages,
+        synthesize_table_pages)
+    from defuddle_spark.spark.pipeline import extract_pages
+
+    for synth in (synthesize_scored_pages, synthesize_table_pages):
+        pages = synth(spark, SF)
+        out = extract_pages(pages.select("url", "html"),
+                            with_routing_column=False)
+        j = out.join(pages.select("url", F.col("text").alias("expect")), "url")
+        bad = j.filter((F.col("extracted_text") != F.col("expect"))
+                       | F.col("error").isNotNull()).count()
+        assert bad == 0, synth.__name__
+
+    pages = synthesize_retry_pages(spark, SF)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    j = out.join(pages.select("url", "text", "doc_id"), "url").cache()
+    # short docs (the data has none >= 200 tokens) retry and KEEP the byline
+    short = j.filter(F.col("doc_id") % 4 != 0)
+    assert short.filter(~F.col("retry_used")).count() == 0
+    assert short.filter(F.col("extracted_text")
+                        != F.concat("text", F.lit(RETRY_BYLINE))).count() == 0
+    # filler docs cross the threshold: no retry, byline stays removed
+    long_ = j.filter(F.col("doc_id") % 4 == 0)
+    assert long_.count() > 0
+    assert long_.filter(F.col("retry_used")).count() == 0
+    assert long_.filter(F.col("extracted_text").contains(RETRY_BYLINE)).count() == 0
+    assert long_.filter(F.col("word_count") < 200).count() == 0
+    j.unpersist()
