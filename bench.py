@@ -71,24 +71,26 @@ def main() -> None:
     timings: dict = {}
     t0 = time.monotonic()
 
+    # Headline: the replicated extraction corpus (160k pages at sf0.1) —
+    # docs/sec on this is BASELINE.md's comparison axis.
     timings["extract"] = timed(lambda: extract_pages(
         pages, with_routing_column=False)
         .agg(F.sum(F.length("content")), F.sum("word_count"),
              F.count("error")).collect())
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Every driver-contract query, timed by name (round-over-round
+    # regressions are visible per query). The noop sink forces full
+    # materialization of every output column — count() would let Catalyst
+    # prune computed columns out of native queries entirely.
+    import __spark_entry__ as entry
+    from defuddle_spark.ops.dedup import release_cached
 
-    timings["dedup_exact"] = timed(
-        lambda: dedup_exact(docs).agg(F.sum("dup_count")).collect())
-    timings["minhash_lsh"] = timed(
-        lambda: minhash_lsh_candidates(docs).agg(F.count("*")).collect())
-    timings["text_quality"] = timed(
-        lambda: text_quality(docs).agg(F.avg("quality_score")).collect())
+    def run_full(fn):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        release_cached()  # drop per-call persisted signature frames
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    timings["ann_cosine_topk"] = timed(
-        lambda: cosine_topk(emb, [float(x) for x in qvec], k=10).collect())
+    for name, fn in entry.queries().items():
+        timings[name] = timed(lambda fn=fn: run_full(fn))
 
     # headline value = sum of best per-query times (the repeated timing
     # loop's wall total would just measure REPS x noise)

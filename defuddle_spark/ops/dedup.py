@@ -13,9 +13,25 @@ Scale notes (designed for ~10^9-10^12 docs; tested at sf0.01/0.1):
 
 from __future__ import annotations
 
-from typing import List
+import logging
+from itertools import combinations
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+log = logging.getLogger("defuddle_spark.ops.dedup")
+
+# Persisted intermediates (signatures reused across a self-join). Long-lived
+# drivers should call release_cached() between jobs; one-shot jobs can rely
+# on executor exit. Registered here so the leak flagged in round 1 is
+# releasable without threading handles through the API.
+_CACHED: List[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Unpersist every frame cached by the dedup operators."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
@@ -85,18 +101,53 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return aggd.select(F.col(id_col), sig.alias("sig"))
 
 
+def _drop_hot_buckets(banded: DataFrame, key_cols: List[str], cap: int,
+                      what: str, log_dropped: bool) -> DataFrame:
+    """Remove buckets with more than ``cap`` members before a self-join.
+
+    A hot bucket (boilerplate cluster collapsing to one band hash) produces
+    O(cap^2) pairs with no upper bound; at 10^9 docs a single such bucket
+    can dominate the whole job. Over-cap buckets are dropped via a
+    broadcast anti-join (the over-cap list is tiny by construction) and —
+    per the no-silent-caps rule — counted and logged eagerly.
+    """
+    sizes = banded.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+    hot = sizes.filter(F.col("_n") > cap)
+    if log_dropped:
+        stats = hot.agg(F.count("*").alias("b"), F.sum("_n").alias("d")).first()
+        if stats["b"]:
+            log.warning(
+                "%s: dropped %d hot bucket(s) (> %d members, %d rows total) "
+                "from the candidate join; raise the cap or pre-dedup exactly "
+                "to keep them", what, stats["b"], cap, stats["d"])
+    return banded.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
+
+
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 64,
-                           bands: int = 16, shingle_k: int = 3) -> DataFrame:
+                           bands: int = 16, shingle_k: int = 3,
+                           hot_bucket_cap: int = 1000,
+                           log_dropped: bool = True) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: (id_a, id_b, est_jaccard).
 
     rows_per_band = num_perm // bands. Pairs are emitted once (id_a < id_b)
     with the signature-estimated Jaccard.
+
+    Scale shape (round-2 hardening): the band self-join carries IDS ONLY —
+    the 64-long signatures (~1 KB per side) are re-attached by id AFTER the
+    pair set is deduplicated, so the pair shuffle moves (band, hash, id)
+    rows, not kilobyte payloads. Buckets larger than ``hot_bucket_cap``
+    (boilerplate clusters sharing one band hash) are dropped with an eager
+    warning log — a hot bucket is quadratic and unbounded otherwise.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    # Persisted: the banding scan, the self-join sides, and the two
+    # signature re-attach joins all reuse it (AQE's runtime broadcast
+    # choices defeat exchange reuse, measured in round 1).
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k).persist()
+    _CACHED.append(sigs)
     banded = sigs.select(
-        id_col, "sig",
+        id_col,
         F.posexplode(F.array(*[
             F.xxhash64(F.concat_ws(
                 ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
@@ -104,20 +155,20 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "band_hash"),
     )
-    # The self-join would otherwise recompute the whole signature
-    # pipeline for each side (AQE's broadcast choice defeats exchange
-    # reuse); persist the banded frame so it is computed once. Size is
-    # (id, 64-long sig, band, hash) x bands — bounded and spillable.
-    banded = banded.persist()
+    banded = _drop_hot_buckets(banded, ["band", "band_hash"], hot_bucket_cap,
+                               "minhash_lsh_candidates", log_dropped)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, ["band", "band_hash"])
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"))
+                     F.col(f"b.{id_col}").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
+    pairs = (pairs
+             .join(sigs.select(F.col(id_col).alias("id_a"),
+                               F.col("sig").alias("sig_a")), "id_a")
+             .join(sigs.select(F.col(id_col).alias("id_b"),
+                               F.col("sig").alias("sig_b")), "id_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, v: acc + v,
@@ -178,30 +229,94 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def _simhash_block_plan(max_hamming: int, n_blocks: Optional[int],
+                        expected_docs: Optional[int],
+                        target_bucket: int) -> int:
+    """Pick the number of 64-bit partition blocks for SimHash blocking.
+
+    Pigeonhole (Manku et al., WWW'07 "Detecting Near-Duplicates for Web
+    Crawling" §3): split the 64 bits into B blocks; a pair within Hamming
+    distance H differs in at most H blocks, so at least B-H blocks match
+    exactly — keying on every combination of B-H blocks finds every such
+    pair. Wider keys (larger B) mean exponentially smaller buckets at the
+    cost of C(B, B-H) tables:
+
+        B = H+1 -> key 64/(H+1) bits  (H=3: 16-bit keys, 4 tables;
+                                       fine to ~10^7 docs)
+        B = 6,  H=3 -> ~30-bit keys, 20 tables  (~1 doc/bucket at 10^9)
+
+    Given ``expected_docs``, B is the smallest value whose minimum key
+    width keeps the expected bucket below ``target_bucket``.
+    """
+    if n_blocks is not None:
+        if n_blocks <= max_hamming:
+            raise ValueError("n_blocks must exceed max_hamming (pigeonhole)")
+        return n_blocks
+    if expected_docs is None:
+        return max_hamming + 1
+    import math
+    for b in range(max_hamming + 1, 33):
+        widths = sorted(64 // b + (1 if i < 64 % b else 0) for i in range(b))
+        key_width = sum(widths[: b - max_hamming])
+        if expected_docs / 2.0 ** key_width <= target_bucket:
+            return b
+    return 32
+
+
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       n_blocks: Optional[int] = None,
+                       expected_docs: Optional[int] = None,
+                       target_bucket: int = 64,
+                       hot_bucket_cap: int = 1000,
+                       log_dropped: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
-    Hamming 3 shares at least one exact chunk), join per block, verify
-    with bit_count. Avoids the all-pairs product.
+    Scale path: partition the 64 bits into B near-equal blocks and key on
+    every combination of B - max_hamming blocks (see _simhash_block_plan —
+    exact recall by pigeonhole, bucket size shrinks exponentially with B).
+    Candidates are verified with bit_count on the full hash. The default
+    B = max_hamming+1 (16-bit keys for H=3) matches the round-1 behavior;
+    pass ``expected_docs`` to auto-widen for large corpora, e.g.
+    expected_docs=10**9 picks ~30-bit keys. Buckets above
+    ``hot_bucket_cap`` are dropped with an eager warning (no silent caps).
     """
-    sims = simhash64(docs, id_col, text_col)
+    b_count = _simhash_block_plan(max_hamming, n_blocks, expected_docs,
+                                  target_bucket)
+    widths = [64 // b_count + (1 if i < 64 % b_count else 0)
+              for i in range(b_count)]
+    starts = [sum(widths[:i]) for i in range(b_count)]
+
+    def _block(c: int) -> F.Column:
+        mask = (1 << widths[c]) - 1
+        return F.shiftright("simhash", starts[c]).bitwiseAND(F.lit(mask))
+
+    keys = []
+    for combo in combinations(range(b_count), b_count - max_hamming):
+        key = F.lit(0).cast("long")
+        for c in combo:
+            key = F.shiftleft(key, widths[c]).bitwiseOR(_block(c))
+        keys.append(key)
+
+    sims = simhash64(docs, id_col, text_col).persist()
+    _CACHED.append(sims)
     chunks = sims.select(
-        id_col, "simhash",
-        F.posexplode(F.array(*[
-            F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
-        ])).alias("chunk_idx", "chunk"),
+        id_col,
+        F.posexplode(F.array(*keys)).alias("chunk_idx", "chunk"),
     )
+    chunks = _drop_hot_buckets(chunks, ["chunk_idx", "chunk"], hot_bucket_cap,
+                               "simhash_near_pairs", log_dropped)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (a.join(b, ["chunk_idx", "chunk"])
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.simhash").alias("sh_b"))
+                     F.col(f"b.{id_col}").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
+    pairs = (pairs
+             .join(sims.select(F.col(id_col).alias("id_a"),
+                               F.col("simhash").alias("sh_a")), "id_a")
+             .join(sims.select(F.col(id_col).alias("id_b"),
+                               F.col("simhash").alias("sh_b")), "id_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)

@@ -74,6 +74,57 @@ def lsh_signature_col(emb_col: str, dim: int, planes: int = 16) -> F.Column:
     return sig
 
 
+def ann_index(embeddings: DataFrame, dim: int,
+              emb_col: str = "embedding", planes: int = 12) -> DataFrame:
+    """Attach the materializable LSH bucket column ``sig``.
+
+    The index is built ONCE per corpus (not per query): write it with
+    write_ann_index so queries hit a sig-partitioned table and the scan
+    prunes to the candidate buckets via partition pruning.
+    """
+    return embeddings.withColumn(
+        "sig", lsh_signature_col(emb_col, dim, planes))
+
+
+def write_ann_index(index: DataFrame, path: str) -> None:
+    """Persist an ann_index() frame partitioned by bucket.
+
+    ``spark.read.parquet(path)`` + lsh_topk then shows
+    ``PartitionFilters: [sig IN (...)]`` in the scan — the 100 TB shape:
+    only the candidate buckets' files are opened.
+    """
+    index.write.mode("overwrite").partitionBy("sig").parquet(path)
+
+
+def query_signature(query: Sequence[float], planes: int = 12) -> int:
+    dim = len(query)
+    qsig = 0
+    for p in range(planes):
+        h = _hyperplane(p, dim)
+        if sum(float(a) * b for a, b in zip(query, h)) >= 0:
+            qsig |= 1 << p
+    return qsig
+
+
+def _sigs_within(qsig: int, planes: int, max_hamming: int) -> List[int]:
+    """All signatures within Hamming distance max_hamming of qsig.
+
+    C(planes, <=max_hamming) values — e.g. 79 for planes=12, r=2. Small
+    enough to ship as an IN-list literal, which (unlike bit_count(xor))
+    Catalyst pushes into the scan as a partition filter / parquet
+    predicate.
+    """
+    from itertools import combinations
+    out = []
+    for r in range(max_hamming + 1):
+        for bits in combinations(range(planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            out.append(qsig ^ mask)
+    return out
+
+
 def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
              planes: int = 12, max_hamming: int = 2,
@@ -81,19 +132,21 @@ def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
     """Approximate top-k: candidates whose signature is within
     ``max_hamming`` bits of the query signature, exactly re-ranked.
 
-    At scale the signature is a partition/bucket key: the scan prunes to
-    a tiny fraction of the corpus before any exact math runs.
+    Round-2 hardening: the candidate filter is ``sig IN (<enumerated
+    buckets>)`` — an explicit literal list, NOT bit_count(xor), so on an
+    ann_index()-materialized, sig-partitioned table it becomes partition
+    pruning at the scan and the per-query cost is proportional to the
+    candidate buckets, not the corpus. If ``embeddings`` already carries
+    a ``sig`` column (an index read back from write_ann_index) no
+    signature math runs at query time at all; otherwise sig is computed
+    on the fly (small-corpus / oracle path, same results).
     """
     dim = len(query)
-    sig = lsh_signature_col(emb_col, dim, planes)
-
-    qsig = 0
-    for p in range(planes):
-        h = _hyperplane(p, dim)
-        if sum(float(a) * b for a, b in zip(query, h)) >= 0:
-            qsig |= 1 << p
-    candidates = embeddings.withColumn("sig", sig).filter(
-        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming)
+    if "sig" not in embeddings.columns:
+        embeddings = ann_index(embeddings, dim, emb_col, planes)
+    qsig = query_signature(query, planes)
+    cand_sigs = _sigs_within(qsig, planes, max_hamming)
+    candidates = embeddings.filter(F.col("sig").isin(cand_sigs))
     sim = F.round(cosine_similarity_col(emb_col, query), round_digits)
     return (candidates
             .select(F.col(id_col), sim.alias("cos_sim"))

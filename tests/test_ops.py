@@ -164,3 +164,97 @@ def test_events_sessionize_gap_logic(spark):
     assert out[2]["n_sessions"] == 1
     w = windowed_counts(events).collect()
     assert sum(r["n_events"] for r in w) == 4
+
+
+def test_simhash_block_widening_differential(spark):
+    """Wider-key blocking (Manku-style combinations) finds the SAME pairs as
+    the default 4x16-bit blocking — pigeonhole recall is exact for both."""
+    from defuddle_spark.ops.dedup import simhash_near_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d2 = docs.select("doc_id", "text").unionByName(
+        docs.selectExpr("doc_id + 10000 AS doc_id", "text"))
+    base = sorted(tuple(r) for r in
+                  simhash_near_pairs(d2, max_hamming=3).collect())
+    wide = sorted(tuple(r) for r in
+                  simhash_near_pairs(d2, max_hamming=3, n_blocks=6).collect())
+    auto = sorted(tuple(r) for r in
+                  simhash_near_pairs(d2, max_hamming=3,
+                                     expected_docs=10**9).collect())
+    assert base == wide == auto
+    assert len(base) > 0
+
+
+def test_hot_bucket_cap_bounds_pairs(spark, caplog):
+    """A planted boilerplate cluster (one band bucket holding every doc)
+    is dropped from the candidate join — and loudly logged, not silent."""
+    import logging
+    from defuddle_spark.ops.dedup import minhash_lsh_candidates
+    docs = spark.createDataFrame(
+        [(i, "exact same boilerplate text everywhere") for i in range(60)],
+        "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="defuddle_spark.ops.dedup"):
+        capped = minhash_lsh_candidates(docs, hot_bucket_cap=10).collect()
+    assert capped == []  # the only buckets were hot → all dropped
+    assert any("hot bucket" in r.message for r in caplog.records)
+    # with the cap above the cluster size the pairs come back
+    full = minhash_lsh_candidates(docs, hot_bucket_cap=10000).count()
+    assert full == 60 * 59 // 2
+
+
+def test_minhash_candidates_match_round1_semantics(spark):
+    """Id-only band join + signature re-attach returns the same candidate
+    set and estimates as joining with signatures carried through."""
+    from defuddle_spark.ops.dedup import minhash_lsh_candidates
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d2 = docs.select("doc_id", "text").unionByName(
+        docs.selectExpr("doc_id + 10000 AS doc_id", "text"))
+    out = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_lsh_candidates(d2).collect()}
+    # every planted exact duplicate is a candidate with estimate 1.0
+    for r in docs.select("doc_id").collect():
+        assert out.get((r["doc_id"], r["doc_id"] + 10000)) == 1.0
+
+
+def test_lsh_topk_inlist_equals_bitcount(spark):
+    """The IN-list candidate filter is set-identical to bit_count(xor):
+    sig IN {s : hamming(s, qsig) <= r} <=> bit_count(sig ^ qsig) <= r."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from defuddle_spark.ops.similarity import (
+        _sigs_within, ann_index, lsh_topk, query_signature)
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    rows = [(i, (base + rng.randn(16) * (0.01 if i < 30 else 2.0)).tolist())
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = base.tolist()
+
+    idx = ann_index(emb, dim=16)
+    qsig = query_signature(query)
+    inlist = set(r["vec_id"] for r in idx.filter(
+        F.col("sig").isin(_sigs_within(qsig, 12, 2))).collect())
+    bitcnt = set(r["vec_id"] for r in idx.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 2).collect())
+    assert inlist == bitcnt and inlist
+
+    out = [r["vec_id"] for r in lsh_topk(emb, query, k=5).collect()]
+    assert len(out) == 5
+
+
+def test_ann_index_partition_pruning(spark, tmp_path):
+    """lsh_topk over a written ann_index prunes at the scan: the physical
+    plan's PartitionFilters carry the sig IN-list."""
+    import numpy as np
+    from defuddle_spark.ops.similarity import ann_index, lsh_topk, write_ann_index
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "annidx")
+    write_ann_index(ann_index(emb, dim=8, planes=8), path)
+
+    idx = spark.read.parquet(path)
+    q = lsh_topk(idx, rng.randn(8).tolist(), k=5, planes=8)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+    # and the filter actually prunes: no full-corpus fallback
+    assert q.count() <= 5
