@@ -84,6 +84,29 @@ _SVG_ATTR_ADJUST = {
     "zoomandpan": "zoomAndPan",
 }
 
+# MathML foreign-content adjustment (x/net/html mathMLAttributeAdjustments:
+# the single case-adjusted MathML attribute).
+_MATHML_ATTR_ADJUST = {"definitionurl": "definitionURL"}
+
+# x/net/html parser.go `breakout`: HTML start tags that pop the parser out
+# of foreign content (unless the current node is an integration point).
+_BREAKOUT = frozenset({
+    "b", "big", "blockquote", "body", "br", "center", "code", "dd", "div",
+    "dl", "dt", "em", "embed", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+    "hr", "i", "img", "li", "listing", "menu", "meta", "nobr", "ol", "p",
+    "pre", "ruby", "s", "small", "span", "strong", "strike", "sub", "sup",
+    "table", "tt", "u", "ul", "var",
+})
+
+# MathML text integration points (spec 13.2.6.5; x/net/html
+# mathMLTextIntegrationPoint) — HTML rules apply inside these except for
+# <mglyph>/<malignmark> start tags.
+_MATH_TEXT_IP = frozenset({"mi", "mo", "mn", "ms", "mtext"})
+
+# SVG HTML integration points (htmlIntegrationPoint); math annotation-xml
+# qualifies only with an HTML encoding attribute — checked in code.
+_SVG_HTML_IP = frozenset({"foreignObject", "desc", "title"})
+
 _SVG_TAG_ADJUST = {
     "altglyph": "altGlyph", "altglyphdef": "altGlyphDef",
     "altglyphitem": "altGlyphItem", "animatecolor": "animateColor",
@@ -511,9 +534,10 @@ class _TreeBuilder(HTMLParser):
             self.html.append(self.body)
             self.stack = [self.head]
             self.body_started = False
-        # parallel to self.stack: is the element inside an <svg> subtree?
-        # (kept as a list so deep documents stay O(n), not O(n^2))
-        self.svg_flags = [False]
+        # parallel to self.stack: the namespace of each open element
+        # ("" = HTML, "svg"/"math" = foreign content), per x/net/html's
+        # Node.Namespace (kept as a list so deep docs stay O(n))
+        self.ns = [""]
         # list of active formatting elements (Element | _MARKER sentinel)
         self.afe: list = []
 
@@ -521,17 +545,89 @@ class _TreeBuilder(HTMLParser):
     def _cur(self) -> Element:
         return self.stack[-1]
 
-    def _push(self, el: Element) -> None:
-        self.svg_flags.append(self.svg_flags[-1] or el.tag == "svg")
+    def _push(self, el: Element, ns: str = "") -> None:
+        self.ns.append(ns)
         self.stack.append(el)
+
+    # -- foreign content (spec 13.2.6.5; x/net/html parseForeignContent) --
+    @staticmethod
+    def _is_html_ip(el: Element, ns: str) -> bool:
+        """HTML integration point: svg foreignObject/desc/title, or math
+        annotation-xml whose encoding is an HTML type."""
+        if ns == "svg" and el.tag in _SVG_HTML_IP:
+            return True
+        if ns == "math" and el.tag == "annotation-xml":
+            enc = (el.get("encoding") or "").lower()
+            return enc in ("text/html", "application/xhtml+xml")
+        return False
+
+    def _in_foreign_text(self) -> bool:
+        """Does a text token belong to foreign content? (inForeignContent
+        returns false for text at either kind of integration point.)"""
+        ns = self.ns[-1]
+        if not ns:
+            return False
+        cur = self.stack[-1]
+        if ns == "math" and cur.tag in _MATH_TEXT_IP:
+            return False
+        return not self._is_html_ip(cur, ns)
+
+    def _foreign_start(self, tag: str, attrs) -> bool:
+        """Handle a start tag while the current node is foreign. Returns
+        True when consumed as a foreign element; False hands the token to
+        the HTML rules (integration point, or after a breakout pop)."""
+        cur = self.stack[-1]
+        cur_ns = self.ns[-1]
+        # Integration points: HTML rules apply directly (no pop).
+        if cur_ns == "math" and cur.tag in _MATH_TEXT_IP \
+                and tag not in ("mglyph", "malignmark"):
+            return False
+        if cur_ns == "math" and cur.tag == "annotation-xml" and tag == "svg":
+            return False  # x/net/html inForeignContent special case
+        if self._is_html_ip(cur, cur_ns):
+            return False
+        if tag in _BREAKOUT or (tag == "font" and any(
+                (k or "").lower() in ("color", "face", "size")
+                for k, _ in attrs)):
+            # Pop back to the nearest HTML node or integration point,
+            # then reprocess the token with the HTML rules.
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.ns[i] == "" \
+                        or self._is_html_ip(self.stack[i], self.ns[i]) \
+                        or (self.ns[i] == "math"
+                            and self.stack[i].tag in _MATH_TEXT_IP):
+                    self._truncate(i + 1)
+                    break
+            return False
+        # Foreign element: per-namespace case adjustments, plain insert
+        # (no AFE reconstruction, no foster parenting), namespace follows
+        # the adjusted current node — <math> inside svg is svg-namespaced.
+        if cur_ns == "svg":
+            tag = _SVG_TAG_ADJUST.get(tag, tag)
+            adjust = _SVG_ATTR_ADJUST
+        else:
+            adjust = _MATHML_ATTR_ADJUST
+        seen = set()
+        attr_pairs = []
+        for k, v in attrs:
+            k = k.lower()
+            k = adjust.get(k, k)
+            if k in seen:
+                continue
+            seen.add(k)
+            attr_pairs.append([k, v if v is not None else ""])
+        el = Element(tag, attr_pairs)
+        cur.append(el)
+        self._push(el, cur_ns)
+        return True
 
     def _truncate(self, i: int) -> None:
         popped = self.stack[i:] if self.afe else None
         del self.stack[i:]
-        del self.svg_flags[i:]
+        del self.ns[i:]
         if not self.stack:
             self.stack = [self.body if not self.fragment else self.root]
-            self.svg_flags = [False]
+            self.ns = [""]
         if popped:
             for el in popped:
                 if el.tag in _AFE_MARKER_TAGS:
@@ -549,7 +645,7 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i] is el:
                 del self.stack[i]
-                del self.svg_flags[i]
+                del self.ns[i]
                 return
 
     def _stack_index(self, el: Element) -> int:
@@ -723,7 +819,7 @@ class _TreeBuilder(HTMLParser):
                     break
                 if not any(e is node for e in self.afe):
                     del self.stack[x]
-                    del self.svg_flags[x]
+                    del self.ns[x]
                     continue
                 clone = self._shallow_clone(node)
                 self.afe[self.afe.index(node)] = clone
@@ -752,13 +848,13 @@ class _TreeBuilder(HTMLParser):
             self._stack_remove(fmt)
             fbi = self._stack_index(fb)
             self.stack.insert(fbi + 1, clone)
-            self.svg_flags.insert(fbi + 1, self.svg_flags[fbi])
+            self.ns.insert(fbi + 1, self.ns[fbi])
 
     def _start_body(self) -> None:
         if not self.body_started:
             self.body_started = True
             self.stack = [self.body]
-            self.svg_flags = [False]
+            self.ns = [""]
 
     def _implied_close(self, tag: str) -> None:
         # close <p> when a p-closing block opens
@@ -797,7 +893,14 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
-        if tag == "image" and not self.svg_flags[-1]:
+        # Foreign-content dispatch (spec 13.2.6, "tree construction
+        # dispatcher"; x/net/html inForeignContent + parseForeignContent):
+        # when the current node is SVG/MathML and the token neither hits an
+        # integration point nor a breakout tag, it is inserted as a foreign
+        # element and none of the HTML insertion rules below apply.
+        if self.ns[-1] and self._foreign_start(tag, attrs):
+            return
+        if tag == "image":
             tag = "img"  # spec in-body: <image> is retagged to <img>
         if not self.fragment:
             if tag == "html":
@@ -882,11 +985,11 @@ class _TreeBuilder(HTMLParser):
             self._cur().append(tr)
             self._push(tr)
 
-        in_svg = tag == "svg" or self.svg_flags[-1]
-        if in_svg and tag in _SVG_TAG_ADJUST:
-            tag = _SVG_TAG_ADJUST[tag]
+        # An <svg>/<math> start tag under HTML rules opens foreign content
+        # (spec in-body "svg"/"math": reconstruct AFE, adjust, insert).
+        new_ns = "svg" if tag == "svg" else ("math" if tag == "math" else "")
 
-        is_formatting = not in_svg and tag in _FORMATTING
+        is_formatting = tag in _FORMATTING
         if is_formatting and tag == "a" and self.afe:
             # An <a> start tag with an open <a> in the list: run the
             # adoption agency for it, then drop it (spec "in body" <a>).
@@ -899,7 +1002,7 @@ class _TreeBuilder(HTMLParser):
                         self.afe.remove(e)
                     self._stack_remove(e)
                     break
-        if self.afe and not in_svg and (
+        if self.afe and (
                 is_formatting or tag not in _NO_RECONSTRUCT):
             cur_tag = self._cur().tag
             if cur_tag not in RAW_TEXT_ELEMENTS:
@@ -910,10 +1013,14 @@ class _TreeBuilder(HTMLParser):
 
         seen = set()
         attr_pairs = []
+        # A root <svg>/<math> under HTML rules still gets its namespace's
+        # attribute case adjustments (x/net/html inBodyIM Math/Svg case).
+        ns_adjust = (_SVG_ATTR_ADJUST if new_ns == "svg"
+                     else _MATHML_ATTR_ADJUST if new_ns == "math" else None)
         for k, v in attrs:
             k = k.lower()
-            if in_svg and k in _SVG_ATTR_ADJUST:
-                k = _SVG_ATTR_ADJUST[k]
+            if ns_adjust is not None:
+                k = ns_adjust.get(k, k)
             if k in seen:
                 continue
             seen.add(k)
@@ -925,7 +1032,7 @@ class _TreeBuilder(HTMLParser):
         else:
             cur.append(el)
         if tag not in VOID_ELEMENTS:
-            self._push(el)
+            self._push(el, new_ns)
         if is_formatting:
             self._push_afe(el)
         elif tag in _AFE_MARKER_TAGS:
@@ -951,10 +1058,20 @@ class _TreeBuilder(HTMLParser):
             if tag == "head" and not self.body_started:
                 self._start_body()
             return
-        if tag in _FORMATTING and not self.svg_flags[-1]:
+        if self.ns[-1]:
+            # Foreign-content end tag (x/net/html parseForeignContent):
+            # pop to a case-insensitive match among foreign nodes; hitting
+            # an HTML node first hands the token to the HTML rules below.
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.ns[i] == "":
+                    break
+                if self.stack[i].tag.lower() == tag:
+                    self._truncate(i)
+                    return
+        if tag in _FORMATTING:
             self._adoption_agency(tag)
             return
-        if tag == "p" and not self.svg_flags[-1]:
+        if tag == "p":
             # Spec in-body </p>: close a p in BUTTON scope; with none
             # open, insert an empty <p> and close it immediately.
             for i in range(len(self.stack) - 1, -1, -1):
@@ -966,8 +1083,7 @@ class _TreeBuilder(HTMLParser):
                     break
             self._insert_element(Element("p"))
             return
-        if tag in ("h1", "h2", "h3", "h4", "h5", "h6") \
-                and not self.svg_flags[-1]:
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             # Spec in-body heading end tag: ANY open heading in scope is
             # closed by any heading end tag (</h3> closes an <h1>).
             for i in range(len(self.stack) - 1, -1, -1):
@@ -978,8 +1094,7 @@ class _TreeBuilder(HTMLParser):
                 if t in _DEFAULT_SCOPE_STOP:
                     return
             return
-        if tag not in _SPECIAL and tag not in _SVG_TAG_ADJUST \
-                and self.svg_flags[-1] is False:
+        if tag not in _SPECIAL and tag not in _SVG_TAG_ADJUST:
             self._any_other_end_tag(tag)
             return
         adjusted = _SVG_TAG_ADJUST.get(tag)
@@ -1013,7 +1128,8 @@ class _TreeBuilder(HTMLParser):
                     return  # drop inter-head whitespace like x/net/html "before head"
         cur = self._cur()
         t = cur.tag
-        if (self.afe or t in _TABLE_CTX) and t not in RAW_TEXT_ELEMENTS:
+        if (self.afe or t in _TABLE_CTX) and t not in RAW_TEXT_ELEMENTS \
+                and not self._in_foreign_text():
             if t in _TABLE_CTX and data.strip():
                 # Non-whitespace text in a table context is foster-parented
                 # (spec "in table text" anything-else branch).

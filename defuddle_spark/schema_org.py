@@ -6,10 +6,13 @@ validation (:1113-1153), plus preserveJSONLDType (:1058-1066).
 
 JSON-LD 1.1 expand/compact parity note: the reference delegates to
 json-gold with the remote https://schema.org/ context; when expansion
-fails (no network, inline contexts the processor rejects) it falls back
-to the raw parsed JSON (defuddle.go:1055 `return rawData, nil`), which is
-the path its own tests exercise (defuddle_test.go:788-875). This kernel
-implements that raw-parse path; properties keep their authored names.
+fails it falls back to the raw parsed JSON (defuddle.go:1055
+`return rawData, nil`). Round 2 adds an offline expansion+compaction
+pipeline (jsonld.py) over a vendored schema.org context, so schema.org-
+context documents now take the expansion path the with-network reference
+takes (compacted items carry the `type`/`id` keyword aliases, which
+preserveJSONLDType then mirrors into `@type`); everything else keeps the
+raw-parse fallback — see jsonld.py's scope notes.
 """
 
 from __future__ import annotations
@@ -103,7 +106,9 @@ def extract_schema_org(doc_root: Element) -> List[Any]:
             raw = json.loads(cleaned)
         except (json.JSONDecodeError, ValueError):
             continue
-        items = _extract_schema_items(raw)
+        from .jsonld import process_schema_org_data
+        processed = process_schema_org_data(raw)
+        items = _extract_schema_items(processed)
         for item in items:
             if isinstance(item, dict):
                 _preserve_jsonld_type(item)

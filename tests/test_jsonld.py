@@ -1,0 +1,106 @@
+"""Offline JSON-LD 1.1 expansion/compaction (jsonld.py) — the expansion
+path the with-network reference takes (defuddle.go:1024-1056), including
+the assertions the round-1 raw-fallback transcription had to drop
+(defuddle_test.go:819-859 checks BOTH item["type"] and item["@type"])."""
+
+import json
+
+from defuddle_spark.jsonld import (
+    ExpansionError, compact, expand, process_schema_org_data)
+from defuddle_spark.kernel import extract_document
+
+
+def test_graph_and_arrays_through_expansion():
+    # defuddle_test.go:819-859 TestSchemaOrgDataHandlesGraphAndArrays —
+    # full assertion set, including the `type` alias only the expansion
+    # path produces (schema.org context aliases type -> @type; the Go
+    # pipeline then mirrors it back via preserveJSONLDType)
+    html = """<html><head>
+        <script type="application/ld+json">
+        {
+            "@context": "https://schema.org",
+            "@graph": [
+                {"@type": "Organization", "name": "Example Publisher"},
+                {"@type": "Article", "headline": "Graph Headline",
+                 "author": [{"name": "First Author"}, {"name": "Second Author"}]}
+            ]
+        }
+        </script>
+    </head><body><article><h1>Graph Headline</h1><p>Readable article body for graph schema.</p></article></body></html>"""
+    r = extract_document(html)
+    items = json.loads(r.schema_org)
+    assert len(items) == 2
+    org, article = items
+    assert org["@type"] == "Organization"
+    assert org["type"] == "Organization"          # expansion-path-only alias
+    assert org["name"] == "Example Publisher"
+    authors = article["author"]
+    assert [a["name"] for a in authors] == ["First Author", "Second Author"]
+    assert all("@type" not in a for a in authors)
+    assert r.title == "Graph Headline"
+    assert r.author == "First Author, Second Author"
+
+
+def test_single_item_expansion_compacts_to_aliases():
+    doc = {
+        "@context": "https://schema.org",
+        "@type": "Article",
+        "headline": "Inline Schema Headline",
+        "wordCount": 120,
+        "author": {"@type": "Person", "name": "Schema Author"},
+    }
+    out = process_schema_org_data(doc)
+    assert out["@context"] == "https://schema.org/"
+    assert out["type"] == "Article"
+    assert out["headline"] == "Inline Schema Headline"
+    assert out["wordCount"] == 120                # @value round trip
+    assert out["author"] == {"type": "Person", "name": "Schema Author"}
+
+
+def test_inline_dict_context_expands_offline():
+    doc = {
+        "@context": {"@vocab": "http://schema.org/",
+                     "title": "http://schema.org/headline"},
+        "@type": "Article",
+        "title": "Renamed Headline",
+    }
+    out = process_schema_org_data(doc)
+    assert out["type"] == "Article"
+    # the inline term maps onto schema.org/headline, compacted back to its
+    # vocabulary name
+    assert out["headline"] == "Renamed Headline"
+
+
+def test_remote_non_schema_context_falls_back_raw():
+    doc = {"@context": "https://example.test/ctx.jsonld",
+           "@type": "Article", "headline": "Kept Raw"}
+    out = process_schema_org_data(doc)
+    assert out is doc                             # untouched raw parse
+    try:
+        expand(doc)
+        raise AssertionError("expected ExpansionError")
+    except ExpansionError:
+        pass
+
+
+def test_missing_context_falls_back_raw():
+    doc = {"@type": "Article", "author": {"name": "Ann"}}
+    out = process_schema_org_data(doc)
+    assert out is doc
+
+
+def test_unmapped_keyword_like_terms_dropped():
+    doc = {"@context": "https://schema.org", "@type": "Thing",
+           "@madeUp": "x", "name": "ok"}
+    out = process_schema_org_data(doc)
+    assert out["name"] == "ok" and "@madeUp" not in out
+
+
+def test_multinode_compacts_into_graph():
+    expanded = expand([
+        {"@context": "https://schema.org", "@type": "Thing", "name": "a"},
+        {"@context": "https://schema.org", "@type": "Thing", "name": "b"},
+    ])
+    assert len(expanded) == 2
+    out = compact(expanded)
+    assert [n["name"] for n in out["@graph"]] == ["a", "b"]

@@ -159,3 +159,66 @@ def test_title_and_textarea_are_rcdata():
     assert d.body.inner_html() == (
         "<textarea>&lt;b&gt;x&lt;/b&gt;&amp;</textarea>"
         '<img src="i.png"/><svg><image href="v"></image></svg>')
+
+
+# --- MathML foreign content (round 2; x/net/html parseForeignContent) ---
+
+def _body(html):
+    from defuddle_spark.dom import parse
+    return parse(html).body.inner_html()
+
+
+def test_mathml_basic_and_attr_adjust():
+    assert _body('<p><math definitionurl="x"><mi>a</mi><mo>+</mo><mn>1</mn></math></p>') == \
+        '<p><math definitionURL="x"><mi>a</mi><mo>+</mo><mn>1</mn></math></p>'
+
+
+def test_mathml_breakout_tags_escape_foreign_content():
+    # div is a breakout tag: pops out of math, becomes a sibling
+    assert _body('<math><mtable><div>broke out</div></math>') == \
+        '<math><mtable></mtable></math><div>broke out</div>'
+
+
+def test_mathml_text_integration_point_parses_html():
+    # mi is a text integration point: <b> inside parses under HTML rules
+    assert _body('<math><mi><b>bold</b></mi></math>') == \
+        '<math><mi><b>bold</b></mi></math>'
+
+
+def test_mathml_annotation_xml_html_encoding_is_integration_point():
+    assert _body('<math><annotation-xml encoding="text/html"><p>h</p>'
+                 '</annotation-xml></math>') == \
+        '<math><annotation-xml encoding="text/html"><p>h</p></annotation-xml></math>'
+
+
+def test_mathml_annotation_xml_svg_special_case():
+    # x/net/html inForeignContent: <svg> under annotation-xml takes HTML
+    # rules, opening a real svg subtree (case tables apply inside)
+    assert _body('<math><annotation-xml><svg><clippath/></svg>'
+                 '</annotation-xml></math>') == \
+        '<math><annotation-xml><svg><clipPath></clipPath></svg></annotation-xml></math>'
+
+
+def test_svg_breakout_and_integration_point():
+    assert _body('<svg><g><p>escaped</p></svg>') == \
+        '<svg><g></g></svg><p>escaped</p>'
+    assert _body('<svg><foreignObject><div><b>x</b></div></foreignObject></svg>') == \
+        '<svg><foreignObject><div><b>x</b></div></foreignObject></svg>'
+
+
+def test_math_inside_svg_is_svg_namespaced():
+    # foreign insertion inherits the adjusted current namespace: a <math>
+    # inside svg is an svg-namespaced element (svg attr tables, not MathML)
+    assert _body('<svg><math definitionurl="u"></math></svg>') == \
+        '<svg><math definitionurl="u"></math></svg>'
+
+
+def test_mathml_in_tag_soup_roundtrips():
+    # hostile position: math interrupted by table machinery; convergence
+    # (reparse stability) must hold
+    from defuddle_spark.dom import parse
+    soup = '<table><tr><td><math><mi>x</mi><tr><mn>1</mn></table><math><mo>!'
+    once = parse(soup).body.inner_html()
+    twice = parse(once).body.inner_html()
+    thrice = parse(twice).body.inner_html()
+    assert twice == thrice

@@ -83,18 +83,34 @@ def main() -> None:
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     replicate = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    pairs = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
-    low = run_level(sf_dir, n_low, replicate)
-    high = run_level(sf_dir, n_high, replicate)
+    # Interleave low/high attempts so external-load drift over the run's
+    # ~15 minutes hits both levels equally (a low-only window followed by a
+    # high-only window attributes whatever the neighbors did in between to
+    # the engine). Noise only ever slows a run down, so best-of across all
+    # interleaved attempts is each level's capacity estimate.
+    lows, highs = [], []
+    for i in range(pairs):
+        lows.append(run_level(sf_dir, n_low, replicate))
+        highs.append(run_level(sf_dir, n_high, replicate))
+    low = max(lows, key=lambda r: r["docs_per_sec"])
+    high = max(highs, key=lambda r: r["docs_per_sec"])
+    low["all_iters"] = [r["iters"] for r in lows]
+    high["all_iters"] = [r["iters"] for r in highs]
+    med_low = statistics.median([x for r in lows for x in r["iters"]])
+    med_high = statistics.median([x for r in highs for x in r["iters"]])
     speedup = high["docs_per_sec"] / low["docs_per_sec"]
     efficiency = speedup / (n_high / n_low)
     print(json.dumps({
         "sf_dir": sf_dir,
         "pages": low["n_pages"],
+        "interleaved_pairs": pairs,
         "low": low,
         "high": high,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "median_efficiency": round(med_high / med_low / (n_high / n_low), 3),
         "target": 0.8,
         "meets_target": efficiency >= 0.8,
     }, indent=2))
