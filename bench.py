@@ -58,7 +58,7 @@ def main() -> None:
     # The sandbox box carries fluctuating external load (runs swing 3-5x);
     # each query is timed REPS times and the minimum reported — external
     # noise only ever slows a run down.
-    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(fn) -> float:
         best = float("inf")

@@ -221,11 +221,18 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         for j in range(64)
     ]
     agg = tokens.groupBy(id_col).agg(*bit_cols)
-    sim = F.lit(0).cast("long")
-    for j in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long")))
+    # Flat shape (array of disjoint bit terms + one aggregate) instead of a
+    # depth-64 bitwiseOR chain: expression-tree depth is what Catalyst
+    # analysis/codegen time scales with.
+    bit_terms = F.array(*[
+        # bit 63 is the int64 sign bit: its term is the two's-complement
+        # negative literal (1<<63 would overflow a long literal)
+        F.when(F.col(f"b{j}") > 0,
+               F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ])
+    sim = F.aggregate(bit_terms, F.lit(0).cast("long"), lambda a, x: a + x)
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 

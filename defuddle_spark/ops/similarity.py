@@ -62,16 +62,25 @@ def _hyperplane(plane: int, dim: int) -> List[float]:
 
 
 def lsh_signature_col(emb_col: str, dim: int, planes: int = 16) -> F.Column:
-    """Random-hyperplane bit signature (int) of an embedding column."""
+    """Random-hyperplane bit signature (int) of an embedding column.
+
+    Built as ONE nested higher-order expression (an aggregate over a
+    planes x dim literal matrix) rather than ``planes`` separate aggregates
+    chained with bitwiseOR(when(...)): the flat shape keeps the expression
+    tree shallow, which is what Catalyst analysis + codegen time scale
+    with (the chained form cost ~10 s of driver-side compile per query).
+    """
     emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    sig = F.lit(0).cast("long")
-    for p in range(planes):
-        h = _as_double_array(_hyperplane(p, dim))
-        dot = F.aggregate(F.zip_with(emb, h, lambda a, b: a * b),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        sig = sig.bitwiseOR(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p))
-                            .otherwise(F.lit(0).cast("long")))
-    return sig
+    hyper = F.array(*[_as_double_array(_hyperplane(p, dim))
+                      for p in range(planes)])
+    masks = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
+    bits = F.zip_with(
+        hyper, masks,
+        lambda h, m: F.when(
+            F.aggregate(F.zip_with(emb, h, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x) >= 0,
+            m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def ann_index(embeddings: DataFrame, dim: int,
