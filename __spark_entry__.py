@@ -67,13 +67,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_extract_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """content is asserted byte-identically, which proves the R2 (small
+    tracking img) and R4 (display:none block) removals planted inside the
+    article actually ran."""
     return _extract(spark, sf_dir, archetype=0).select(
-        "url", "title", "extracted_text", "word_count")
+        "url", "title", "content", "extracted_text", "word_count")
 
 
 def q_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extract(spark, sf_dir, archetype=1).select(
-        "url", "title", "author", "site", "description", "published", "domain")
+        "url", "title", "author", "site", "description", "published",
+        "domain", "image", "favicon")
 
 
 def q_extract_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +136,36 @@ def q_extract_hackernews(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthesize_hn_pages(spark, sf_dir)
     out = extract_pages(pages.select("url", "html"), with_routing_column=False)
     return out.select("url", "title", "author", "site", "published", "domain",
+                      "extractor_type", "extracted_text", "word_count")
+
+
+def q_extract_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six opt-in element processors through the Spark pipeline:
+    kernel_options turns them on, and the oracle's byte-identity on
+    content proves each transform ran (every processed form differs from
+    the default path's output)."""
+    from defuddle_spark.spark.pages import synthesize_elements_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_elements_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False,
+                        kernel_options={"process_headings": True,
+                                        "process_roles": True,
+                                        "process_code": True,
+                                        "process_math": True,
+                                        "process_footnotes": True,
+                                        "process_images": True})
+    return out.select("url", "title", "content", "extracted_text", "word_count")
+
+
+def q_extract_github(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second extractor-routing oracle (GitHub issues): every column of the
+    extractor's output — content header/body assembly, site string,
+    truncated ws-normalized description — predictable in SQL."""
+    from defuddle_spark.spark.pages import synthesize_github_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_github_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    return out.select("url", "title", "site", "domain", "description",
                       "extractor_type", "extracted_text", "word_count")
 
 
@@ -238,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table": q_extract_table,
         "extract_retry": q_extract_retry,
         "extract_hackernews": q_extract_hackernews,
+        "extract_github": q_extract_github,
+        "extract_elements": q_extract_elements,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
@@ -271,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_semantic": f"""
             SELECT {_URL} AS url, {_TITLE} AS title,
+                   '<p>' || text || '</p>' AS content,
                    text AS extracted_text, {_WC} AS word_count
             FROM documents WHERE doc_id % 3 = 0
         """,
@@ -280,7 +317,9 @@ def oracle_sql() -> dict[str, str]:
                    'Example Docs' AS site,
                    'Synthetic description of Doc ' || CAST(doc_id AS VARCHAR) || '.' AS description,
                    '2024-01-15T00:00:00Z' AS published,
-                   'docs.example.test' AS domain
+                   'docs.example.test' AS domain,
+                   'https://img.example.test/' || CAST(doc_id AS VARCHAR) || '.png' AS image,
+                   'https://docs.example.test/favicon-32.png' AS favicon
             FROM documents WHERE doc_id % 3 = 1
         """,
         "extract_flatten": f"""
@@ -343,6 +382,48 @@ def oracle_sql() -> dict[str, str]:
                    'https://articles.example.test/' || source || '/' || CAST(doc_id AS VARCHAR) || text AS extracted_text,
                    {_WC} AS word_count
             FROM documents
+        """,
+        "extract_elements": f"""
+            WITH el AS (
+                SELECT *,
+                       'Section Doc ' || CAST(doc_id AS VARCHAR) || text
+                           || 'first itemsecond itemfmt.Println("hi")'
+                           || 'Claim 1 stands.x=2the sourceA chart caption' AS etext
+                FROM documents
+            )
+            SELECT 'https://elements.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title,
+                   '<h2>Section Doc ' || CAST(doc_id AS VARCHAR) || '</h2><p>' || text
+                       || '</p><ol><li>first item</li><li>second item</li></ol>'
+                       || '<pre><code data-lang="go" class="language-go">fmt.Println(&#34;hi&#34;)</code></pre>'
+                       || '<p>Claim <sup id="fnref:1"><sup>1</sup></sup> stands.</p>'
+                       || '<math xmlns="http://www.w3.org/1998/Math/MathML" display="inline"><mi>x</mi><mo>=</mo><mn>2</mn></math>'
+                       || '<div><ol><li id="fn:1" role="doc-endnote" aria-label="Footnote 2"><p>the source</p></li></ol></div>'
+                       || '<figure><img src="/img/chart.png" alt="A chart caption"/><figcaption>A chart caption</figcaption></figure>' AS content,
+                   etext AS extracted_text,
+                   CAST(len(regexp_split_to_array(trim(etext), '\\s+')) AS INTEGER) AS word_count
+            FROM el
+        """,
+        "extract_github": f"""
+            WITH gh AS (
+                SELECT *,
+                       'user' || CAST(doc_id % 50 AS VARCHAR)
+                           || ' opened this issue on February '
+                           || CAST(doc_id % 9 + 1 AS VARCHAR) || ', 2024' AS header
+                FROM documents
+            )
+            SELECT 'https://github.com/acme/' || source || '/issues/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title,
+                   'GitHub - acme/' || source AS site,
+                   'github.com' AS domain,
+                   regexp_replace(substr(header || chr(10) || chr(10) || text, 1, 140),
+                                  '\\s+', ' ', 'g') AS description,
+                   'github' AS extractor_type,
+                   header || chr(10) || chr(10) || text || chr(10) || chr(10) AS extracted_text,
+                   CAST(len(regexp_split_to_array(trim(header || ' ' || text), '\\s+')) AS INTEGER) AS word_count
+            FROM gh
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS INTEGER) AS dup_count

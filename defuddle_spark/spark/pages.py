@@ -65,6 +65,11 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
                 F.lit('<meta name="description" content="Synthetic description of '),
                 title, F.lit('.">'),
                 F.lit('<meta property="article:published_time" content="2024-01-15T00:00:00Z">'),
+                # M8/M9 chains (round 2): og:image + relative favicon the
+                # kernel must urljoin against the page url
+                F.lit('<meta property="og:image" content="https://img.example.test/'),
+                F.col("doc_id").cast("string"), F.lit('.png">'),
+                F.lit('<link rel="icon" href="/favicon-32.png">'),
                 F.lit('<link rel="canonical" href="'), url, F.lit('">'),
             ),
         ).otherwise(F.lit("")),
@@ -94,7 +99,18 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
     ).otherwise(
         F.concat(
             F.lit("<article><h1>"), title, F.lit("</h1><p>"),
-            F.col("text"), F.lit("</p></article>"),
+            F.col("text"), F.lit("</p>"),
+            # R2/R4 clutter inside the selected content (round 2): a
+            # tracking-pixel-sized img and a display:none block. The
+            # extract_semantic oracle asserts content == '<p>'||text||'</p>'
+            # byte-identically, so failing to remove either fails the gate
+            # (the goquery no-clone quirk makes removals reach the selected
+            # subtree).
+            F.when(archetype == 0, F.lit(
+                '<img src="/pix.png" width="10" height="10">'
+                '<div style="display:none">tracking beacon text</div>'
+            )).otherwise(F.lit("")),
+            F.lit("</article>"),
         ),
     )
 
@@ -229,6 +245,79 @@ def synthesize_retry_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<footer>F</footer></body></html>"),
     )
     warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+def synthesize_elements_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages exercising ALL six opt-in element processors (round 2).
+
+    Run through extract_pages(kernel_options={process_* : True}); each
+    construct's processed form differs byte-wise from the default path, so
+    the oracle's content identity proves every processor ran: E5 unwraps
+    the in-heading anchor, E6 turns role=list/listitem into <ol><li> (the
+    '.'-label ordered rule + label removal — the default path deletes the
+    div as non-content), E1 adds data-lang to the code block, E3
+    restructures the footnote ref + labels the endnote li, E4 normalizes
+    the <math> element (xmlns + display), E2 generates img alt text from
+    the figcaption.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://elements.example.test/"), F.col("lang"),
+                   F.lit("/"), F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    html_str = F.concat(
+        F.lit('<html><head><meta charset="utf-8"><title>'), title,
+        F.lit("</title></head><body><article><h1>"), title,
+        F.lit("</h1><h2><a href=\"#section\">Section "), title,
+        F.lit("</a></h2><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<div role="list"><div role="listitem"><span class="label">1.</span>first item</div>'
+              '<div role="listitem"><span class="label">2.</span>second item</div></div>'),
+        F.lit('<pre><code class="language-go">fmt.Println("hi")</code></pre>'),
+        F.lit('<p>Claim<sup id="fnref:1"><a href="#fn:1">1</a></sup> stands.</p>'
+              '<math display="block"><mi>x</mi><mo>=</mo><mn>2</mn></math>'
+              '<div class="footnotes"><ol><li id="fn:1"><p>the source</p></li></ol></div>'
+              '<figure><img src="/img/chart.png" alt=""><figcaption>A chart caption</figcaption></figure>'),
+        F.lit("</article></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+def synthesize_github_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GitHub issue pages (extractor-routing archetype #2, round 2).
+
+    Deterministic from `documents`; the GitHub extractor's whole output is
+    predictable in SQL: content is the issue-author header + markdown body,
+    site is 'GitHub - owner/repo', description is the 140-char
+    whitespace-normalized text. Drives the `extract_github` oracle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://github.com/acme/"), F.col("source"),
+                   F.lit("/issues/"), F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    author = F.concat(F.lit("user"), (F.col("doc_id") % 50).cast("string"))
+    day = (F.col("doc_id") % 9 + 1).cast("string")
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit('</title><meta name="octolytics-url" content="https://collector.github.com/github/collect"></head>'
+              '<body><div data-testid="issue-title">'), title, F.lit("</div>"),
+        F.lit('<div data-testid="issue-viewer-issue-container">'
+              '<a data-testid="issue-body-header-author" href="/'), author,
+        F.lit('">'), author, F.lit("</a>"),
+        F.lit('<relative-time datetime="2024-02-0'), day,
+        F.lit('T12:00:00Z"></relative-time>'),
+        F.lit('<div data-testid="issue-body-viewer"><div class="markdown-body"><p>'),
+        F.col("text"),
+        F.lit("</p></div></div></div></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1707091200) + F.col("doc_id"))
     return docs.select(
         url.alias("url"), warc_ts.alias("warc_ts"),
         F.encode(html_str, "UTF-8").alias("html"),

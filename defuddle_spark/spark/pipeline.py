@@ -53,7 +53,8 @@ _RESULT_FIELDS = [f.name for f in RESULT_SCHEMA.fields]
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame],
-                     remove_images: bool = False) -> Iterator[pd.DataFrame]:
+                     remove_images: bool = False,
+                     kernel_options: Optional[dict] = None) -> Iterator[pd.DataFrame]:
     """Arrow-batch kernel driver: one Python call per batch, C-parser per doc.
 
     Imported lazily on executors; selector tables compile once per worker
@@ -61,7 +62,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
     """
     from defuddle_spark.kernel import Options, extract_document_bytes
 
-    opts = Options(remove_images=remove_images)
+    opts = Options(remove_images=remove_images, **(kernel_options or {}))
     for pdf in batches:
         rows = []
         for url, html in zip(pdf["url"].values, pdf["html"].values):
@@ -95,7 +96,8 @@ def extract_pages(pages: DataFrame,
                   salt_partitions: Optional[int] = None,
                   remove_images: bool = False,
                   with_routing_column: bool = True,
-                  giant_threshold_bytes: Optional[int] = None) -> DataFrame:
+                  giant_threshold_bytes: Optional[int] = None,
+                  kernel_options: Optional[dict] = None) -> DataFrame:
     """Run the extraction kernel over a pages DataFrame.
 
     Input must carry (url string, html binary); extra columns are pruned
@@ -115,7 +117,8 @@ def extract_pages(pages: DataFrame,
 
     def _run(part: DataFrame) -> DataFrame:
         return part.mapInPandas(
-            lambda it: _extract_batches(it, remove_images=remove_images),
+            lambda it: _extract_batches(it, remove_images=remove_images,
+                                        kernel_options=kernel_options),
             schema=RESULT_SCHEMA,
         )
 
