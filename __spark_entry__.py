@@ -69,9 +69,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_extract_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """content is asserted byte-identically, which proves the R2 (small
     tracking img) and R4 (display:none block) removals planted inside the
-    article actually ran."""
+    article ran AND that the full-size figure was kept."""
     return _extract(spark, sf_dir, archetype=0).select(
         "url", "title", "content", "extracted_text", "word_count")
+
+
+def q_extract_noimages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 removeAllImages: same semantic pages with remove_images=True —
+    the kept figure from extract_semantic must now be gone (content
+    byte-identity again)."""
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = _pages(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False,
+                        remove_images=True)
+    return out.select("url", "content", "word_count")
 
 
 def q_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +276,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_semantic": q_extract_semantic,
+        "extract_noimages": q_extract_noimages,
         "extract_metadata": q_extract_metadata,
         "extract_flatten": q_extract_flatten,
         "extract_lang_stats": q_extract_lang_stats,
@@ -307,8 +319,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_semantic": f"""
             SELECT {_URL} AS url, {_TITLE} AS title,
-                   '<p>' || text || '</p>' AS content,
+                   '<p>' || text || '</p><img src="/media/' || CAST(doc_id AS VARCHAR)
+                       || '.png" alt="Figure ' || CAST(doc_id AS VARCHAR)
+                       || '" width="640" height="480"/>' AS content,
                    text AS extracted_text, {_WC} AS word_count
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "extract_noimages": f"""
+            SELECT {_URL} AS url,
+                   '<p>' || text || '</p>' AS content,
+                   {_WC} AS word_count
             FROM documents WHERE doc_id % 3 = 0
         """,
         "extract_metadata": f"""

@@ -155,6 +155,11 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "band_hash"),
     )
+    # Persist the banded frame too: the hot-bucket stats job, the anti-join
+    # and BOTH self-join sides read it (4 scans otherwise re-derive the
+    # banding projection). Rows are (id, band, hash) — small and spillable.
+    banded = banded.persist()
+    _CACHED.append(banded)
     banded = _drop_hot_buckets(banded, ["band", "band_hash"], hot_bucket_cap,
                                "minhash_lsh_candidates", log_dropped)
     a = banded.alias("a")

@@ -106,9 +106,15 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
             # byte-identically, so failing to remove either fails the gate
             # (the goquery no-clone quirk makes removals reach the selected
             # subtree).
-            F.when(archetype == 0, F.lit(
-                '<img src="/pix.png" width="10" height="10">'
-                '<div style="display:none">tracking beacon text</div>'
+            # ... plus a KEPT full-size figure: default extraction must
+            # retain it (asserted in extract_semantic's content) while the
+            # remove_images=True variant (extract_noimages, R3) strips it.
+            F.when(archetype == 0, F.concat(
+                F.lit('<img src="/media/'), F.col("doc_id").cast("string"),
+                F.lit('.png" alt="Figure '), F.col("doc_id").cast("string"),
+                F.lit('" width="640" height="480">'),
+                F.lit('<img src="/pix.png" width="10" height="10">'
+                      '<div style="display:none">tracking beacon text</div>'),
             )).otherwise(F.lit("")),
             F.lit("</article>"),
         ),
