@@ -180,6 +180,44 @@ def q_extract_github(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "extractor_type", "extracted_text", "word_count")
 
 
+def q_extract_youtube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third extractor-routing oracle (YouTube): the VideoObject metadata
+    travels through the offline JSON-LD expansion path (jsonld.py), so this
+    gate-checks M2's expansion pipeline end-to-end alongside the extractor's
+    embed assembly and word-boundary description truncation."""
+    from defuddle_spark.spark.pages import synthesize_youtube_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_youtube_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    return out.select("url", "title", "author", "site", "published", "domain",
+                      "image", "description", "extractor_type", "content",
+                      "extracted_text", "word_count")
+
+
+def q_extract_reddit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth extractor-routing oracle (Reddit): shreddit-post body +
+    comment-thread blockquote assembly, r/<sub> site, 140-char description."""
+    from defuddle_spark.spark.pages import synthesize_reddit_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_reddit_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    return out.select("url", "title", "author", "site", "domain",
+                      "description", "extractor_type", "content",
+                      "extracted_text", "word_count")
+
+
+def q_extract_chatgpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth extractor-routing oracle (ChatGPT / conversation base): the
+    two-turn message template, sr-only author headers, role metadata, and
+    message-count description are asserted byte-identically."""
+    from defuddle_spark.spark.pages import synthesize_chatgpt_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_chatgpt_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    return out.select("url", "title", "site", "domain", "description",
+                      "extractor_type", "content", "extracted_text", "word_count")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.dedup import dedup_exact
     return dedup_exact(_docs_doubled(spark, sf_dir))
@@ -285,6 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_retry": q_extract_retry,
         "extract_hackernews": q_extract_hackernews,
         "extract_github": q_extract_github,
+        "extract_youtube": q_extract_youtube,
+        "extract_reddit": q_extract_reddit,
+        "extract_chatgpt": q_extract_chatgpt,
         "extract_elements": q_extract_elements,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -444,6 +485,118 @@ def oracle_sql() -> dict[str, str]:
                    header || chr(10) || chr(10) || text || chr(10) || chr(10) AS extracted_text,
                    CAST(len(regexp_split_to_array(trim(header || ' ' || text), '\\s+')) AS INTEGER) AS word_count
             FROM gh
+        """,
+        "extract_youtube": f"""
+            -- description: python t=desc[:200]; ls=t.rfind(' '); if ls>150: t=t[:ls]
+            -- (0-based ls = 200-rp where rp = 1-based pos of last space from the right)
+            WITH yt AS (
+                SELECT *, strpos(reverse(substr(text, 1, 200)), ' ') AS rp
+                FROM documents
+            )
+            SELECT 'https://www.youtube.com/watch?v=vid' || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title,
+                   'Channel ' || CAST(doc_id % 50 AS VARCHAR) AS author,
+                   'YouTube' AS site,
+                   '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T08:00:00Z' AS published,
+                   'youtube.com' AS domain,  -- metadata domain strips www.
+                   'https://img.example.test/thumb' || CAST(doc_id AS VARCHAR) || '.jpg' AS image,
+                   CASE WHEN length(text) > 200
+                        THEN trim(CASE WHEN rp > 0 AND rp < 50
+                                       THEN substr(text, 1, 200 - rp)
+                                       ELSE substr(text, 1, 200) END)
+                        ELSE trim(text) END AS description,
+                   'youtube' AS extractor_type,
+                   '<iframe width="560" height="315" src="https://www.youtube.com/embed/vid' || CAST(doc_id AS VARCHAR) || '" title="YouTube video player" frameborder="0" allow="accelerometer; autoplay; clipboard-write; encrypted-media; gyroscope; picture-in-picture; web-share" referrerpolicy="strict-origin-when-cross-origin" allowfullscreen></iframe><br><p>' || text || '</p>' AS content,
+                   text AS extracted_text,
+                   {_WC} AS word_count
+            FROM yt
+        """,
+        "extract_reddit": f"""
+            WITH rd AS (
+                SELECT *,
+                       'commenter' || CAST(doc_id % 20 AS VARCHAR) AS commenter,
+                       CAST(doc_id % 100 AS VARCHAR) AS score,
+                       '/r/' || source || '/comments/abc' || CAST(doc_id AS VARCHAR) || '/c1/' AS permalink
+                FROM documents
+            )
+            SELECT 'https://www.reddit.com/r/' || source || '/comments/abc'
+                       || CAST(doc_id AS VARCHAR) || '/doc_' || CAST(doc_id AS VARCHAR) || '/' AS url,
+                   {_TITLE} AS title,
+                   'redditor' || CAST(doc_id % 50 AS VARCHAR) AS author,
+                   'r/' || source AS site,
+                   'reddit.com' AS domain,
+                   substr(trim(text), 1, 140) AS description,
+                   'reddit' AS extractor_type,
+                   '<div class="reddit-post"><div class="post-content"><p>' || text
+                       || '</p></div></div><hr><h2>Comments</h2><div class="reddit-comments">'
+                       || '<blockquote><div class="comment"><div class="comment-metadata">'
+                       || '<span class="comment-author"><strong>' || commenter
+                       || '</strong></span> • <a href="https://reddit.com' || permalink
+                       || '" class="comment-link">' || score
+                       || ' points</a> • <span class="comment-date"></span></div>'
+                       || '<div class="comment-content"><p>Nice analysis.</p></div></div></blockquote></div>' AS content,
+                   text || 'Commentscommenter' || CAST(doc_id % 20 AS VARCHAR)
+                       || ' • ' || score || ' points • Nice analysis.' AS extracted_text,
+                   CAST(len(regexp_split_to_array(trim(text || 'Commentscommenter' || CAST(doc_id % 20 AS VARCHAR)
+                       || ' • ' || score || ' points • Nice analysis.'), '\\s+')) AS INTEGER) AS word_count
+            FROM rd
+        """,
+        "extract_chatgpt": f"""
+            WITH cg AS (
+                SELECT *,
+                       'Explain Doc ' || CAST(doc_id AS VARCHAR) || '.' AS user_msg
+                FROM documents
+            ), asm AS (
+                SELECT *,
+                       '
+				
+					You said
+					
+				
+				
+					' || user_msg || '
+				
+			
+
+			
+				
+					ChatGPT said
+					
+				
+				
+					' || text || '
+				
+			' AS etext
+                FROM cg
+            )
+            SELECT 'https://chatgpt.com/share/abc-' || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title,
+                   'ChatGPT' AS site,
+                   'chatgpt.com' AS domain,
+                   'ChatGPT conversation with 2 messages' AS description,
+                   'chatgpt' AS extractor_type,
+                   '<div class="message message-you said" data-role="user">
+				<div class="message-header">
+					<p class="message-author"><strong>You said</strong></p>
+					
+				</div>
+				<div class="message-content">
+					<div class="text-message"><p>' || user_msg || '</p></div>
+				</div>
+			</div>
+<hr>
+			<div class="message message-chatgpt said" data-role="assistant">
+				<div class="message-header">
+					<p class="message-author"><strong>ChatGPT said</strong></p>
+					
+				</div>
+				<div class="message-content">
+					<div class="text-message"><p>' || text || '</p></div>
+				</div>
+			</div>' AS content,
+                   etext AS extracted_text,
+                   CAST(len(list_filter(regexp_split_to_array(etext, '\\s+'), x -> x <> '')) AS INTEGER) AS word_count
+            FROM asm
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS INTEGER) AS dup_count

@@ -330,6 +330,119 @@ def synthesize_github_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.col("lang"), F.col("doc_id"))
 
 
+def synthesize_youtube_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YouTube watch pages (extractor-routing archetype #3, round 2).
+
+    The extractor reads the VideoObject from the page's JSON-LD — which now
+    flows through the offline expansion+compaction path (jsonld.py), so
+    this archetype also drives M2's expansion pipeline at the gate. All
+    outputs (embed iframe, 200-char word-boundary description truncation,
+    thumbnail/author/uploadDate) are SQL-predictable.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vid = F.concat(F.lit("vid"), F.col("doc_id").cast("string"))
+    url = F.concat(F.lit("https://www.youtube.com/watch?v="), vid)
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    author = F.concat(F.lit("Channel "), (F.col("doc_id") % 50).cast("string"))
+    day = (F.col("doc_id") % 9 + 1).cast("string")
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit(" - YouTube</title>"),
+        F.lit('<script type="application/ld+json">{"@context":"https://schema.org",'
+              '"@type":"VideoObject","name":"'), title,
+        F.lit('","description":"'), F.col("text"),
+        F.lit('","uploadDate":"2024-03-0'), day,
+        F.lit('T08:00:00Z","author":"'), author,
+        F.lit('","thumbnailUrl":"https://img.example.test/thumb'),
+        F.col("doc_id").cast("string"),
+        F.lit('.jpg"}</script></head><body><div id="player"></div></body></html>'),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1709251200) + F.col("doc_id"))
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+def synthesize_reddit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reddit post pages (extractor-routing archetype #4, round 2):
+    shreddit-post text body + one shreddit-comment; the extractor's post/
+    comment assembly, r/<sub> site string, and 140-char description are all
+    SQL-predictable. Drives the `extract_reddit` oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sub = F.col("source")
+    url = F.concat(F.lit("https://www.reddit.com/r/"), sub,
+                   F.lit("/comments/abc"), F.col("doc_id").cast("string"),
+                   F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit("/"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    author = F.concat(F.lit("redditor"), (F.col("doc_id") % 50).cast("string"))
+    commenter = F.concat(F.lit("commenter"), (F.col("doc_id") % 20).cast("string"))
+    score = (F.col("doc_id") % 100).cast("string")
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body>"),
+        F.lit('<shreddit-post author="'), author, F.lit('"><h1>'), title,
+        F.lit('</h1><div slot="text-body"><p>'), F.col("text"),
+        F.lit("</p></div></shreddit-post>"),
+        F.lit('<shreddit-comment depth="0" author="'), commenter,
+        F.lit('" score="'), score,
+        F.lit('" permalink="/r/'), sub, F.lit("/comments/abc"),
+        F.col("doc_id").cast("string"),
+        F.lit('/c1/"><div slot="comment"><p>Nice analysis.</p></div></shreddit-comment>'),
+        F.lit("</body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1710000000) + F.col("doc_id"))
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+# ChatGPT conversation template pieces (fixed strings the conversation
+# base emits around the two message bodies); the extract_chatgpt oracle
+# splices them verbatim — see tests/test_extractors.py for the kernel-side
+# pins of the same template.
+CHATGPT_P1 = ('<div class="message message-you said" data-role="user">\n\t\t\t\t'
+              '<div class="message-header">\n\t\t\t\t\t'
+              '<p class="message-author"><strong>You said</strong></p>\n\t\t\t\t\t\n\t\t\t\t'
+              '</div>\n\t\t\t\t<div class="message-content">\n\t\t\t\t\t'
+              '<div class="text-message"><p>')
+CHATGPT_P2 = ('</p></div>\n\t\t\t\t</div>\n\t\t\t</div>\n<hr>\n\t\t\t'
+              '<div class="message message-chatgpt said" data-role="assistant">\n\t\t\t\t'
+              '<div class="message-header">\n\t\t\t\t\t'
+              '<p class="message-author"><strong>ChatGPT said</strong></p>\n\t\t\t\t\t\n\t\t\t\t'
+              '</div>\n\t\t\t\t<div class="message-content">\n\t\t\t\t\t'
+              '<div class="text-message"><p>')
+CHATGPT_P3 = '</p></div>\n\t\t\t\t</div>\n\t\t\t</div>'
+CHATGPT_T1 = '\n\t\t\t\t\n\t\t\t\t\tYou said\n\t\t\t\t\t\n\t\t\t\t\n\t\t\t\t\n\t\t\t\t\t'
+CHATGPT_T2 = ('\n\t\t\t\t\n\t\t\t\n\n\t\t\t\n\t\t\t\t\n\t\t\t\t\t'
+              'ChatGPT said\n\t\t\t\t\t\n\t\t\t\t\n\t\t\t\t\n\t\t\t\t\t')
+CHATGPT_T3 = '\n\t\t\t\t\n\t\t\t'
+
+
+def synthesize_chatgpt_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatGPT share pages (extractor-routing archetype #5, round 2):
+    two conversation turns (user prompt + assistant answer carrying the
+    document text); the conversation base's message/header template output
+    is byte-predictable (the CHATGPT_* constants above)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    url = F.concat(F.lit("https://chatgpt.com/share/abc-"),
+                   F.col("doc_id").cast("string"))
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body><main>"),
+        F.lit('<article data-testid="conversation-turn-1" data-message-author-role="user">'
+              '<h5 class="sr-only">You said:</h5><div class="text-message"><p>Explain Doc '),
+        F.col("doc_id").cast("string"), F.lit(".</p></div></article>"),
+        F.lit('<article data-testid="conversation-turn-2" data-message-author-role="assistant">'
+              '<h6 class="sr-only">ChatGPT said:</h6><div class="text-message"><p>'),
+        F.col("text"), F.lit("</p></div></article></main></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1711000000) + F.col("doc_id"))
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
 def synthesize_hn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hacker News item pages (extractor-routing archetype, FIXTURES.md #13).
 
