@@ -218,6 +218,37 @@ def q_extract_chatgpt(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "extractor_type", "content", "extracted_text", "word_count")
 
 
+def _q_conv(synth_name: str):
+    """Conversation-extractor query factory (Claude/Grok/Gemini share the
+    same asserted column set)."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import defuddle_spark.spark.pages as pages_mod
+        from defuddle_spark.spark.pipeline import extract_pages
+        pages = getattr(pages_mod, synth_name)(spark, sf_dir)
+        out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+        return out.select("url", "title", "site", "domain", "description",
+                          "extractor_type", "content", "extracted_text",
+                          "word_count")
+    return q
+
+
+q_extract_claude = _q_conv("synthesize_claude_pages")
+q_extract_grok = _q_conv("synthesize_grok_pages")
+q_extract_gemini = _q_conv("synthesize_gemini_pages")
+
+
+def q_extract_twitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twitter/X extractor oracle: tweet-thread assembly, @handle author,
+    ISO date from the <time> element, 140-char description."""
+    from defuddle_spark.spark.pages import synthesize_twitter_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_twitter_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False)
+    return out.select("url", "title", "author", "site", "domain",
+                      "description", "extractor_type", "content",
+                      "extracted_text", "word_count")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.dedup import dedup_exact
     return dedup_exact(_docs_doubled(spark, sf_dir))
@@ -326,6 +357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_youtube": q_extract_youtube,
         "extract_reddit": q_extract_reddit,
         "extract_chatgpt": q_extract_chatgpt,
+        "extract_claude": q_extract_claude,
+        "extract_grok": q_extract_grok,
+        "extract_gemini": q_extract_gemini,
+        "extract_twitter": q_extract_twitter,
         "extract_elements": q_extract_elements,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -349,6 +384,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL over the same parquet views)
 # ---------------------------------------------------------------------------
+
+def _sql_str(s: str) -> str:
+    """Python string -> SQL single-quoted literal (real control chars ok)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _conv_oracle(url_sql: str, bot_class: str, bot_name: str,
+                 user_role: str, domain: str, extractor: str) -> str:
+    """Byte-identity oracle for a two-turn conversation-base extractor.
+
+    The conversation template (tests pin the same bytes kernel-side) is
+    spliced around 'Explain Doc N.' and the document text; word count uses
+    an empty-filtering split because DuckDB trim() strips spaces only.
+    """
+    p1 = (f'<div class="message message-you" data-role="{user_role}">\n\t\t\t\t'
+          '<div class="message-header">\n\t\t\t\t\t'
+          '<p class="message-author"><strong>You</strong></p>\n\t\t\t\t\t\n\t\t\t\t'
+          '</div>\n\t\t\t\t<div class="message-content">\n\t\t\t\t\t<p>')
+    p2 = ('</p>\n\t\t\t\t</div>\n\t\t\t</div>\n<hr>\n\t\t\t'
+          f'<div class="message message-{bot_class}" data-role="assistant">\n\t\t\t\t'
+          '<div class="message-header">\n\t\t\t\t\t'
+          f'<p class="message-author"><strong>{bot_name}</strong></p>\n\t\t\t\t\t\n\t\t\t\t'
+          '</div>\n\t\t\t\t<div class="message-content">\n\t\t\t\t\t<p>')
+    p3 = '</p>\n\t\t\t\t</div>\n\t\t\t</div>'
+    t1 = '\n\t\t\t\t\n\t\t\t\t\tYou\n\t\t\t\t\t\n\t\t\t\t\n\t\t\t\t\n\t\t\t\t\t'
+    t2 = ('\n\t\t\t\t\n\t\t\t\n\n\t\t\t\n\t\t\t\t\n\t\t\t\t\t'
+          f'{bot_name}\n\t\t\t\t\t\n\t\t\t\t\n\t\t\t\t\n\t\t\t\t\t')
+    t3 = '\n\t\t\t\t\n\t\t\t'
+    return f"""
+        WITH cv AS (
+            SELECT *, 'Explain Doc ' || CAST(doc_id AS VARCHAR) || '.' AS user_msg
+            FROM documents
+        ), asm AS (
+            SELECT *, {_sql_str(t1)} || user_msg || {_sql_str(t2)} || text
+                       || {_sql_str(t3)} AS etext
+            FROM cv
+        )
+        SELECT {url_sql} AS url,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               '{bot_name}' AS site,
+               '{domain}' AS domain,
+               '{bot_name} conversation with 2 messages' AS description,
+               '{extractor}' AS extractor_type,
+               {_sql_str(p1)} || user_msg || {_sql_str(p2)} || text
+                   || {_sql_str(p3)} AS content,
+               etext AS extracted_text,
+               CAST(len(list_filter(regexp_split_to_array(etext, '\\s+'),
+                    x -> x <> '')) AS INTEGER) AS word_count
+        FROM asm
+    """
 
 def oracle_sql() -> dict[str, str]:
     from defuddle_spark.spark.pages import (RETRY_BYLINE as _RETRY_BYLINE,
@@ -597,6 +682,40 @@ def oracle_sql() -> dict[str, str]:
                    etext AS extracted_text,
                    CAST(len(list_filter(regexp_split_to_array(etext, '\\s+'), x -> x <> '')) AS INTEGER) AS word_count
             FROM asm
+        """,
+        "extract_claude": _conv_oracle(
+            "'https://claude.ai/share/abc-' || CAST(doc_id AS VARCHAR)",
+            "claude", "Claude", "you", "claude.ai", "claude"),
+        "extract_grok": _conv_oracle(
+            "'https://grok.x.ai/share/abc-' || CAST(doc_id AS VARCHAR)",
+            "grok", "Grok", "user", "grok.x.ai", "grok"),
+        "extract_gemini": _conv_oracle(
+            "'https://gemini.google.com/share/abc' || CAST(doc_id AS VARCHAR)",
+            "gemini", "Gemini", "user", "gemini.google.com", "gemini"),
+        "extract_twitter": f"""
+            WITH tw AS (
+                SELECT *,
+                       CAST(doc_id % 50 AS VARCHAR) AS u,
+                       CAST(doc_id % 9 + 1 AS VARCHAR) AS d
+                FROM documents
+            )
+            SELECT 'https://x.com/user' || u || '/status/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Thread by @user' || u AS title,
+                   '@user' || u AS author,
+                   'X (Twitter)' AS site,
+                   'x.com' AS domain,
+                   substr(trim(text), 1, 140) AS description,
+                   'twitter' AS extractor_type,
+                   '<div class="tweet-thread"><div class="main-tweet"><div class="tweet">'
+                       || '<div class="tweet-header"><span class="tweet-author"><strong>User ' || u
+                       || '</strong> <span class="tweet-handle">@user' || u
+                       || '</span></span> <a href="/user' || u || '/status/' || CAST(doc_id AS VARCHAR)
+                       || '" class="tweet-date">2024-04-0' || d || '</a></div>'
+                       || '<div class="tweet-text"><p>' || text || '</p></div></div></div></div>' AS content,
+                   'User ' || u || ' @user' || u || ' 2024-04-0' || d || text AS extracted_text,
+                   CAST(len(regexp_split_to_array(trim('User ' || u || ' @user' || u
+                        || ' 2024-04-0' || d || text), '\\s+')) AS INTEGER) AS word_count
+            FROM tw
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS INTEGER) AS dup_count

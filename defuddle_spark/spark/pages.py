@@ -443,6 +443,96 @@ def synthesize_chatgpt_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.col("lang"), F.col("doc_id"))
 
 
+def _conversation_pages(spark: SparkSession, sf_dir: str, url_col,
+                        title_suffix: str, user_html, bot_html,
+                        ts0: int) -> DataFrame:
+    """Shared two-turn conversation page shell for the AI-chat archetypes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit(title_suffix),
+        F.lit("</title></head><body><main>"), user_html, bot_html,
+        F.lit("</main></body></html>"))
+    warc_ts = F.timestamp_seconds(F.lit(ts0) + F.col("doc_id"))
+    return docs.select(
+        url_col.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
+def synthesize_claude_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claude share pages (round 2): user/assistant data-testid messages."""
+    did = F.col("doc_id").cast("string")
+    user = F.concat(F.lit('<div data-testid="user-message"><p>Explain Doc '),
+                    did, F.lit(".</p></div>"))
+    bot = F.concat(F.lit('<div data-testid="assistant-message"><p>'),
+                   F.col("text"), F.lit("</p></div>"))
+    url = F.concat(F.lit("https://claude.ai/share/abc-"), did)
+    return _conversation_pages(spark, sf_dir, url, " - Claude", user, bot,
+                               1712000000)
+
+
+def synthesize_grok_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok share pages (round 2): items-end/items-start message bubbles."""
+    did = F.col("doc_id").cast("string")
+    user = F.concat(
+        F.lit('<div class="relative group flex flex-col justify-center w-full '
+              'items-end"><div class="message-bubble">Explain Doc '),
+        did, F.lit(".</div></div>"))
+    bot = F.concat(
+        F.lit('<div class="relative group flex flex-col justify-center w-full '
+              'items-start"><div class="message-bubble"><p>'),
+        F.col("text"), F.lit("</p></div></div>"))
+    url = F.concat(F.lit("https://grok.x.ai/share/abc-"), did)
+    return _conversation_pages(spark, sf_dir, url, " - Grok", user, bot,
+                               1713000000)
+
+
+def synthesize_gemini_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gemini share pages (round 2): conversation-container with
+    user-query/model-response custom elements."""
+    did = F.col("doc_id").cast("string")
+    user = F.concat(
+        F.lit('<div class="conversation-container"><user-query>'
+              '<div class="query-text"><p>Explain Doc '),
+        did, F.lit(".</p></div></user-query>"))
+    bot = F.concat(
+        F.lit('<model-response><div class="model-response-text">'
+              '<div class="markdown"><p>'),
+        F.col("text"), F.lit("</p></div></div></model-response></div>"))
+    url = F.concat(F.lit("https://gemini.google.com/share/abc"), did)
+    return _conversation_pages(spark, sf_dir, url, "", user, bot, 1714000000)
+
+
+def synthesize_twitter_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X/Twitter status pages (round 2): timeline + tweet article with
+    User-Name links, timestamped permalink, and tweetText; the extractor's
+    thread/header assembly is byte-predictable."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    u = (F.col("doc_id") % 50).cast("string")
+    day = (F.col("doc_id") % 9 + 1).cast("string")
+    url = F.concat(F.lit("https://x.com/user"), u, F.lit("/status/"), did)
+    html_str = F.concat(
+        F.lit('<html><head><title>Post</title></head><body>'
+              '<div aria-label="Timeline: Conversation">'
+              '<article data-testid="tweet"><div data-testid="User-Name">'
+              '<a href="/user'), u, F.lit('">User '), u,
+        F.lit('</a><a href="/user'), u, F.lit('">@user'), u,
+        F.lit('</a></div><a href="/user'), u, F.lit("/status/"), did,
+        F.lit('"><time datetime="2024-04-0'), day,
+        F.lit('T10:00:00.000Z">Apr</time></a>'
+              '<div data-testid="tweetText"><span>'),
+        F.col("text"),
+        F.lit("</span></div></article></div></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1715000000) + F.col("doc_id"))
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
 def synthesize_hn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hacker News item pages (extractor-routing archetype, FIXTURES.md #13).
 
