@@ -908,11 +908,14 @@ class FootnoteProcessor:
     def detect_text_footnotes(self, options: FootnoteProcessingOptions) -> List[Footnote]:
         out = []
         skip = compile_selector("sup, .footnote, .footnote-ref")
+        # One tree walk + one subtree-text materialization per element,
+        # shared across all patterns (the loop stays pattern-major so the
+        # footnote numbering order matches the reference's).
+        candidates = [(el, el.text()) for el in self.doc.html.descendants()
+                      if not skip.match(el)]
         for rx in _TEXT_FOOTNOTE_PATTERNS:
-            for el in self.doc.html.descendants():
-                if skip.match(el):
-                    continue
-                for m in rx.finditer(el.text()):
+            for el, el_text in candidates:
+                for m in rx.finditer(el_text):
                     key = m.group(1)
                     definition = self.find_footnote_definition(key)
                     fn = Footnote(id=f"{options.footnote_prefix or 'fn'}-{key}",
