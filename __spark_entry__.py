@@ -25,6 +25,9 @@ _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _WC = f"CAST(len({_TOKENS}) AS INTEGER)"
 _URL = "'https://docs.example.test/' || lang || '/' || source || '/' || doc_id || '-r0'"
 _TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
+# SQL literal of ops.textstats.BPE_TOKEN_RE (apostrophes doubled)
+from defuddle_spark.ops.textstats import BPE_TOKEN_RE as _BPE_RE
+_BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
 
 
 def _pages(spark: SparkSession, sf_dir: str):
@@ -300,6 +303,46 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(x) for x in query], k=10)
 
 
+def _emb_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copy (element 0 shifted by +0.1, ids +10000):
+    deterministic planted near-duplicates (cosine ~0.995 — the table's
+    vectors are unit-norm) so the embedding near-dup checks collapse
+    something real; the raw vectors' max pairwise cosine is ~0.51."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + 0.1),
+            F.transform(F.slice("embedding", 2, 10000),
+                        lambda x: x.cast("double"))).alias("embedding"))
+    return base.unionByName(pert)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the dedup-by-embedding
+    entry of the training-data checklist); ground-truth O(n^2) variant,
+    fully oracle-checked."""
+    from defuddle_spark.ops.similarity import cosine_neardup_pairs
+    return cosine_neardup_pairs(_emb_doubled(spark, sf_dir), threshold=0.9)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: signature-bucketed candidates, exact verify. Recall is
+    probabilistic (rows-only check); the differential test pins
+    lsh ⊆ exact on the planted pairs."""
+    from defuddle_spark.ops.similarity import cosine_neardup_lsh
+    return cosine_neardup_lsh(_emb_doubled(spark, sf_dir), dim=64,
+                              threshold=0.9)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from defuddle_spark.ops.textstats import token_stats
+    return token_stats(_docs(spark, sf_dir))
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.relational import tpch_q1
     return tpch_q1(spark, sf_dir)
@@ -365,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "text_quality": q_text_quality,
+        "token_stats": q_token_stats,
+        "embedding_neardup": q_embedding_neardup,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -378,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
@@ -798,6 +844,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es > m2 THEN 'es'
                         ELSE l2 END AS pred_lang
             FROM fold2
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   {_WC.replace('word_count', 'n_ws_tokens')} AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, {_BPE_SQL})) AS INTEGER) AS n_bpe_tokens,
+                   round(length(text)::DOUBLE
+                         / greatest(len(regexp_extract_all(text, {_BPE_SQL})), 1), 6) AS chars_per_bpe_token
+            FROM documents
+        """,
+        "embedding_neardup": """
+            WITH e2 AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000,
+                       list_concat([embedding[1]::DOUBLE + 0.1],
+                                   (embedding[2:])::DOUBLE[])
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nn FROM e2
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.emb, b.emb) / (a.nn * b.nn), 4) AS cos_sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.9
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

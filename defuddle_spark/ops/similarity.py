@@ -44,6 +44,89 @@ def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
             .limit(k))
 
 
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         round_digits: int = 4) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    for rounded cosine >= threshold, emitted once (id_a < id_b).
+
+    Ground-truth/oracle variant: the O(n^2) pair space is only sane below
+    ~10^5-10^6 vectors — norms are precomputed per side so the join carries
+    (id, vec, norm) and the dot product is the only per-pair work, but the
+    pair count is quadratic by nature. The 100 TB path is
+    cosine_neardup_lsh below (bucketed candidates, same verify math).
+    """
+    e = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("_e"))
+    e = e.withColumn("_n", F.sqrt(F.aggregate(
+        F.transform("_e", lambda a: a * a), F.lit(0.0),
+        lambda acc, x: acc + x)))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("_e").alias("_ea"),
+                 F.col("_n").alias("_na"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("_e").alias("_eb"),
+                 F.col("_n").alias("_nb"))
+    dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("_na") * F.col("_nb")), round_digits)
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def cosine_neardup_lsh(embeddings: DataFrame, dim: int, threshold: float = 0.9,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       planes: int = 12, max_hamming: int = 2,
+                       round_digits: int = 4) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane signatures
+    bucket the corpus; only pairs whose signatures are within
+    ``max_hamming`` bits are exactly verified. Candidate generation is a
+    band-style equi-join on (probe, masked signature): each vector emits
+    C(planes, <=max_hamming) masked copies of its signature, so two sigs
+    within the Hamming radius share at least one masked key. The shuffle
+    carries (key, id) only; vectors re-attach by id for the verify."""
+    from itertools import combinations
+    idx = ann_index(embeddings, dim, emb_col, planes).select(
+        F.col(id_col), F.col(emb_col), "sig")
+    masks = []
+    for r in range(max_hamming + 1):
+        for bits in combinations(range(planes), r):
+            m = 0
+            for bit in bits:
+                m |= 1 << bit
+            masks.append(m)
+    # key = sig with the masked bits forced to 0, tagged by the mask id;
+    # a pair differing exactly in the masked bits collides on that key
+    probes = idx.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.col("sig").bitwiseAND(F.lit(~m & ((1 << planes) - 1)))
+            for m in masks
+        ])).alias("probe", "key"))
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (a.join(b, ["probe", "key"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    e = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("_e"))
+    e = e.withColumn("_n", F.sqrt(F.aggregate(
+        F.transform("_e", lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x)))
+    cand = (cand
+            .join(e.select(F.col(id_col).alias("id_a"),
+                           F.col("_e").alias("_ea"), F.col("_n").alias("_na")), "id_a")
+            .join(e.select(F.col(id_col).alias("id_b"),
+                           F.col("_e").alias("_eb"), F.col("_n").alias("_nb")), "id_b"))
+    dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("_na") * F.col("_nb")), round_digits)
+    return (cand.select("id_a", "id_b", cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 def _hyperplane(plane: int, dim: int) -> List[float]:
     """Deterministic pseudo-random hyperplane component in [-1, 1).
 

@@ -31,6 +31,29 @@ def token_count_col(text_col: str) -> F.Column:
     return F.size(_tokens(text_col))
 
 
+# GPT-2-style pre-tokenizer shape (contractions, letter runs, digit runs,
+# punctuation runs, each optionally space-prefixed) — kept to syntax both
+# Java regex (Spark) and RE2 (DuckDB oracle) interpret identically:
+# no lookarounds, no unicode property classes.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe_token) — the two
+    token-count bases an LLM-data pipeline budgets with: whitespace words
+    and a BPE-ish subword proxy (regexp_count stays in whole-stage codegen;
+    no Python tokenizer in the hot path)."""
+    n_ws = F.size(_tokens(text_col))
+    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    return docs.select(
+        F.col(id_col),
+        n_ws.cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(F.length(text_col).cast("double")
+                / F.greatest(n_bpe, F.lit(1)), 6).alias("chars_per_bpe_token"))
+
+
 def text_quality(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,

@@ -258,3 +258,44 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "sig" in plan
     # and the filter actually prunes: no full-corpus fallback
     assert q.count() <= 5
+
+
+def test_embedding_neardup_exact_and_lsh(spark):
+    """Embedding-cosine near-dup: the exact variant finds every planted
+    pair; the LSH variant's pairs are a subset with high recall and
+    identical cosine values."""
+    from pyspark.sql import functions as F
+    from defuddle_spark.ops.similarity import (cosine_neardup_lsh,
+                                               cosine_neardup_pairs)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(F.array(F.col("embedding")[0].cast("double") + 0.1),
+                 F.transform(F.slice("embedding", 2, 10000),
+                             lambda x: x.cast("double"))).alias("embedding"))
+    e2 = base.unionByName(pert)
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in cosine_neardup_pairs(e2, threshold=0.9).collect()}
+    n = emb.count()
+    # every planted (i, i+10000) pair is found, nothing else qualifies
+    assert set(exact) == {(r["vec_id"], r["vec_id"] + 10000)
+                          for r in emb.select("vec_id").collect()}
+    assert all(v >= 0.99 for v in exact.values())
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in cosine_neardup_lsh(e2, dim=64, threshold=0.9).collect()}
+    assert set(lsh) <= set(exact)
+    assert len(lsh) >= 0.9 * n  # probabilistic recall on planted pairs
+    assert all(exact[k] == v for k, v in lsh.items())
+
+
+def test_token_stats_bpe_regex(spark):
+    from defuddle_spark.ops.textstats import token_stats
+    docs = spark.createDataFrame(
+        [(1, "It's 2024, tokenizers aren't free!")],
+        "doc_id long, text string")
+    row = token_stats(docs).collect()[0]
+    # It|'s| 2024|,| tokenizers| aren|'t| free|! -> 9 BPE-ish tokens
+    assert row["n_ws_tokens"] == 5
+    assert row["n_bpe_tokens"] == 9
