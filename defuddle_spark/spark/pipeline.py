@@ -115,6 +115,18 @@ def extract_pages(pages: DataFrame,
     df = pages.select("url", "html").filter(
         F.col("html").isNotNull() & (F.length(F.col("html")) > 0))
 
+    # Narrow inputs serialize the kernel: a single parquet file (or a
+    # freshly synthesized frame) scans as ONE partition, so the Arrow
+    # kernel would run on one core regardless of cluster width. When the
+    # caller didn't pick an explicit salt_partitions, widen narrow inputs
+    # to the session's parallelism, salted by url-hash (same skew defense
+    # as the explicit path). At cluster scale real inputs already carry
+    # thousands of partitions and this is a no-op.
+    if not salt_partitions and not df.isStreaming:
+        target = pages.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, F.xxhash64(F.col("url")))
+
     def _run(part: DataFrame) -> DataFrame:
         return part.mapInPandas(
             lambda it: _extract_batches(it, remove_images=remove_images,

@@ -29,11 +29,18 @@ def html_fragments(draw, depth=0):
 
 @given(html_fragments())
 @settings(max_examples=150, deadline=None)
-def test_serialize_parse_fixpoint(fragment):
+def test_serialize_parse_converges(fragment):
+    # Convergence, not one-step fixpoint: spec tree construction is not
+    # idempotent for some repairs — e.g. '<h1><table><h1></h1></table></h1>'
+    # foster-parents the inner heading INSIDE the outer one, and the
+    # reparse then sees '<h1><h1>' where the heading-pops-heading rule
+    # fires (x/net/html behaves identically). The serialized form must
+    # stabilize by the second reparse.
     html = f"<html><body>{fragment}</body></html>"
     once = parse(html).body.inner_html()
     twice = parse(f"<html><body>{once}</body></html>").body.inner_html()
-    assert once == twice
+    thrice = parse(f"<html><body>{twice}</body></html>").body.inner_html()
+    assert twice == thrice
 
 
 @given(_plain)
