@@ -108,11 +108,15 @@ def _process_context(spec: Any, base: Optional[_Context] = None) -> _Context:
         return _Context()
     if isinstance(spec, str):
         if spec in _SCHEMA_ORG_URLS:
-            merged = _schema_org_context()
-            merged.terms.update(ctx.terms)
-            if ctx.vocab:
-                merged.vocab = ctx.vocab
-            return merged
+            # Later context layers override earlier ones (JSON-LD 1.1 §4.1;
+            # json-gold behaves the same): the schema.org layer's @vocab and
+            # type/id aliases win over terms defined by PRECEDING layers in
+            # an array context, e.g. [{"type": "..."}, "https://schema.org/"]
+            # compacts with the schema.org `type` alias, not the inline term.
+            schema = _schema_org_context()
+            ctx.vocab = schema.vocab
+            ctx.terms.update(schema.terms)
+            return ctx
         raise ExpansionError(f"cannot resolve remote context offline: {spec}")
     if isinstance(spec, list):
         for part in spec:

@@ -14,6 +14,8 @@ Scale notes (designed for ~10^9-10^12 docs; tested at sf0.01/0.1):
 from __future__ import annotations
 
 import logging
+import threading
+from functools import reduce
 from itertools import combinations
 from typing import List, Optional
 
@@ -24,14 +26,26 @@ log = logging.getLogger("defuddle_spark.ops.dedup")
 # Persisted intermediates (signatures reused across a self-join). Long-lived
 # drivers should call release_cached() between jobs; one-shot jobs can rely
 # on executor exit. Registered here so the leak flagged in round 1 is
-# releasable without threading handles through the API.
+# releasable without threading handles through the API. Guarded by a lock
+# for concurrent builders; note that release_cached() between two IN-FLIGHT
+# candidate queries unpersists frames the other query's plan still
+# references (silent recomputation, not wrong answers) — call it at job
+# boundaries, one logical dedup job at a time.
 _CACHED: List[DataFrame] = []
+_CACHED_LOCK = threading.Lock()
+
+
+def _register_cached(df: DataFrame) -> None:
+    with _CACHED_LOCK:
+        _CACHED.append(df)
 
 
 def release_cached() -> None:
     """Unpersist every frame cached by the dedup operators."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    with _CACHED_LOCK:
+        frames, _CACHED[:] = list(_CACHED), []
+    for f in frames:
+        f.unpersist()
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
@@ -53,11 +67,13 @@ def _ensure_parallel(docs: DataFrame) -> DataFrame:
     A single parquet file scans as ONE partition, which serializes the
     explode-heavy operators onto one core (measured: 64-perm MinHash over
     5k docs took 5.4 s single-partition vs sub-second parallel). At
-    cluster scale the input already has thousands of partitions and this
-    is a no-op; the check costs a plan->RDD conversion, not a job.
+    cluster scale the input already has thousands of files and this is a
+    no-op; the probe is plan-only (leaf file count — see
+    spark.partitions.is_narrow), never a plan->RDD conversion.
     """
+    from defuddle_spark.spark.partitions import is_narrow
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if is_narrow(docs, target):
         return docs.repartition(target)
     return docs
 
@@ -107,20 +123,46 @@ def _drop_hot_buckets(banded: DataFrame, key_cols: List[str], cap: int,
 
     A hot bucket (boilerplate cluster collapsing to one band hash) produces
     O(cap^2) pairs with no upper bound; at 10^9 docs a single such bucket
-    can dominate the whole job. Over-cap buckets are dropped via a
-    broadcast anti-join (the over-cap list is tiny by construction) and —
-    per the no-silent-caps rule — counted and logged eagerly.
+    can dominate the whole job.
+
+    With ``log_dropped`` (the default) this runs ONE eager Spark job over
+    ``banded`` — which callers persist first, so the work warms the cache
+    the self-join reuses — collecting the over-cap key list (tiny by
+    construction: each key is a collapsed boilerplate cluster). The
+    collected list serves both the no-silent-caps warning AND the filter;
+    when it is empty (the common case) no filter is added at all. Round 2
+    instead re-derived the aggregation inside a broadcast anti-join plan on
+    top of a separate stats job, which cost minhash_lsh 1.8x locally.
+
+    With ``log_dropped=False`` the builder stays fully lazy: a broadcast
+    anti-join over the persisted frame, no warning.
     """
     sizes = banded.groupBy(*key_cols).agg(F.count("*").alias("_n"))
     hot = sizes.filter(F.col("_n") > cap)
-    if log_dropped:
-        stats = hot.agg(F.count("*").alias("b"), F.sum("_n").alias("d")).first()
-        if stats["b"]:
-            log.warning(
-                "%s: dropped %d hot bucket(s) (> %d members, %d rows total) "
-                "from the candidate join; raise the cap or pre-dedup exactly "
-                "to keep them", what, stats["b"], cap, stats["d"])
-    return banded.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
+    if not log_dropped:
+        return banded.join(F.broadcast(hot.select(*key_cols)), key_cols,
+                           "left_anti")
+    hot_rows = hot.collect()
+    if not hot_rows:
+        return banded
+    log.warning(
+        "%s: dropped %d hot bucket(s) (> %d members, %d rows total) "
+        "from the candidate join; raise the cap or pre-dedup exactly "
+        "to keep them", what, len(hot_rows), cap,
+        sum(r["_n"] for r in hot_rows))
+    if len(hot_rows) > 256:
+        # pathological boilerplate storm: ship the key list as a broadcast
+        # frame instead of an expression chain
+        hot_df = banded.sparkSession.createDataFrame(
+            [tuple(r[k] for k in key_cols) for r in hot_rows], key_cols)
+        return banded.join(F.broadcast(hot_df), key_cols, "left_anti")
+    # literal filter on the collected keys: pure codegen, no extra shuffle
+    is_hot = reduce(lambda a, b: a | b, [
+        reduce(lambda x, y: x & y,
+               [F.col(k) == F.lit(r[k]) for k in key_cols])
+        for r in hot_rows
+    ])
+    return banded.filter(~is_hot)
 
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
@@ -145,7 +187,7 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     # signature re-attach joins all reuse it (AQE's runtime broadcast
     # choices defeat exchange reuse, measured in round 1).
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k).persist()
-    _CACHED.append(sigs)
+    _register_cached(sigs)
     banded = sigs.select(
         id_col,
         F.posexplode(F.array(*[
@@ -159,7 +201,7 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     # and BOTH self-join sides read it (4 scans otherwise re-derive the
     # banding projection). Rows are (id, band, hash) — small and spillable.
     banded = banded.persist()
-    _CACHED.append(banded)
+    _register_cached(banded)
     banded = _drop_hot_buckets(banded, ["band", "band_hash"], hot_bucket_cap,
                                "minhash_lsh_candidates", log_dropped)
     a = banded.alias("a")
@@ -311,11 +353,12 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
         keys.append(key)
 
     sims = simhash64(docs, id_col, text_col).persist()
-    _CACHED.append(sims)
+    _register_cached(sims)
     chunks = sims.select(
         id_col,
         F.posexplode(F.array(*keys)).alias("chunk_idx", "chunk"),
-    )
+    ).persist()
+    _register_cached(chunks)
     chunks = _drop_hot_buckets(chunks, ["chunk_idx", "chunk"], hot_bucket_cap,
                                "simhash_near_pairs", log_dropped)
     a, b = chunks.alias("a"), chunks.alias("b")

@@ -70,25 +70,35 @@ def _exact_pair_cosine(cand: DataFrame, embeddings: DataFrame,
 
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                          id_col: str = "vec_id", emb_col: str = "embedding",
-                         round_digits: int = 4) -> DataFrame:
+                         round_digits: int = 4,
+                         max_vectors: int = 1_000_000) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     for rounded cosine >= threshold, emitted once (id_a < id_b).
 
     Ground-truth/oracle variant with a BLAS physical plan: the normalized
-    matrix is broadcast (bounded — this variant is for <= ~10^5-10^6
-    vectors; beyond that use cosine_neardup_lsh) and each partition
+    matrix is broadcast — HARD-BOUNDED by ``max_vectors`` (default 10^6,
+    ~0.5 GB at dim 64): the corpus is counted first and a ValueError
+    pointing at cosine_neardup_lsh (the scale path) is raised over the
+    bound, instead of OOMing the driver mid-collect — and each partition
     matmuls its rows against it in numpy, emitting only pairs above
     threshold minus a rounding guard. Survivors (a tiny fraction) are
     re-scored with the sequential fold, so the OUTPUT is exactly what the
     naive all-pairs expression produces — the matmul only prunes.
     (Measured: the interpreted per-pair HOF cosine took 49 s on 8M pairs
-    at sf0.1; the matmul prune runs in ~1 s.)
+    at sf0.1; the matmul prune runs in ~1 s.) Note the bound check and the
+    matrix collect both run EAGERLY at call time.
     """
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
     src = embeddings.select(id_col, emb_col)
+    if src.limit(max_vectors + 1).count() > max_vectors:
+        raise ValueError(
+            f"cosine_neardup_pairs is the bounded ground-truth variant: the "
+            f"corpus exceeds max_vectors={max_vectors} and the broadcast "
+            f"matrix would not fit; use cosine_neardup_lsh (the scale path) "
+            f"or raise max_vectors explicitly.")
     pdf_all = src.toPandas()
     ids_all = pdf_all[id_col].to_numpy()
     m = np.vstack(pdf_all[emb_col].to_numpy()).astype(np.float64)
@@ -113,11 +123,19 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
             keep = id_a < id_b
             yield pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
 
+    from pyspark.sql.types import StructField, StructType
+    from defuddle_spark.spark.partitions import is_narrow
+
     parts = src
     target = spark.sparkContext.defaultParallelism
-    if parts.rdd.getNumPartitions() < target:
+    if is_narrow(parts, target):
         parts = parts.repartition(target)
-    cand = parts.mapInPandas(gen, "id_a long, id_b long")
+    # pair schema follows the caller's id column type (string doc keys are
+    # common); hardcoding long broke non-long ids at Arrow conversion
+    id_type = embeddings.schema[id_col].dataType
+    pair_schema = StructType([StructField("id_a", id_type),
+                              StructField("id_b", id_type)])
+    cand = parts.mapInPandas(gen, pair_schema)
     return _exact_pair_cosine(cand, embeddings, id_col, emb_col,
                               threshold, round_digits)
 

@@ -121,10 +121,15 @@ def extract_pages(pages: DataFrame,
     # caller didn't pick an explicit salt_partitions, widen narrow inputs
     # to the session's parallelism, salted by url-hash (same skew defense
     # as the explicit path). At cluster scale real inputs already carry
-    # thousands of partitions and this is a no-op.
+    # thousands of files and this is a no-op. The narrowness probe is
+    # plan-only (leaf file count, spark.partitions.is_narrow) — an RDD
+    # conversion would force AQE to materialize upstream shuffle stages at
+    # plan-build time; inputs that already carry a tuned shuffle
+    # partitioning should pass salt_partitions explicitly.
     if not salt_partitions and not df.isStreaming:
+        from defuddle_spark.spark.partitions import is_narrow
         target = pages.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if is_narrow(df, target):
             df = df.repartition(target, F.xxhash64(F.col("url")))
 
     def _run(part: DataFrame) -> DataFrame:

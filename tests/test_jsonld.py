@@ -104,3 +104,35 @@ def test_multinode_compacts_into_graph():
     assert len(expanded) == 2
     out = compact(expanded)
     assert [n["name"] for n in out["@graph"]] == ["a", "b"]
+
+
+def test_array_context_later_layer_wins():
+    # JSON-LD 1.1 §4.1: contexts in an array apply in order, later entries
+    # overriding earlier ones (json-gold does the same). A schema.org URL
+    # FOLLOWING inline term definitions must win for the terms it defines —
+    # here the inline "type" mapping is overridden by the schema.org
+    # type -> @type alias, so @type compacts to the alias, not to
+    # additionalType.
+    doc = {
+        "@context": [{"type": "http://schema.org/additionalType"},
+                     "https://schema.org/"],
+        "@type": "Article",
+        "headline": "Later Context Wins",
+    }
+    out = process_schema_org_data(doc)
+    assert out["type"] == "Article"
+    assert out["headline"] == "Later Context Wins"
+
+
+def test_array_context_earlier_schema_org_overridable():
+    # ...and the mirror image: inline definitions AFTER the schema.org URL
+    # override its entries for the terms they (re)define.
+    doc = {
+        "@context": ["https://schema.org/",
+                     {"title": "http://schema.org/headline"}],
+        "@type": "Article",
+        "title": "Inline Overrides Later",
+    }
+    out = process_schema_org_data(doc)
+    assert out["type"] == "Article"
+    assert out["headline"] == "Inline Overrides Later"

@@ -299,3 +299,31 @@ def test_token_stats_bpe_regex(spark):
     # It|'s| 2024|,| tokenizers| aren|'t| free|! -> 9 BPE-ish tokens
     assert row["n_ws_tokens"] == 5
     assert row["n_bpe_tokens"] == 9
+
+
+def test_cosine_neardup_bound_guard(spark):
+    """The exact variant refuses corpora over max_vectors instead of
+    collecting them to the driver (the LSH path is the scale variant)."""
+    import pytest
+    from defuddle_spark.ops.similarity import cosine_neardup_pairs
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cosine_neardup_lsh"):
+        cosine_neardup_pairs(emb, max_vectors=10)
+    # at or under the bound the operator runs normally
+    assert cosine_neardup_pairs(emb, threshold=0.99999,
+                                max_vectors=20).count() >= 0
+
+
+def test_cosine_neardup_string_ids(spark):
+    """Pair schema follows the caller's id type: string doc keys survive
+    the Arrow round trip (round-2 hardcoded 'long' broke them)."""
+    from defuddle_spark.ops.similarity import cosine_neardup_pairs
+    emb = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [1.0, 1e-6]), ("doc-c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in cosine_neardup_pairs(emb, threshold=0.9).collect()}
+    assert set(pairs) == {("doc-a", "doc-b")}
+    assert pairs[("doc-a", "doc-b")] == 1.0
