@@ -338,6 +338,63 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=0.9)
 
 
+def q_minhash_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC recall oracle for MinHash-LSH: the doubled corpus's
+    planted (i, i+10000) pairs have IDENTICAL texts, hence identical
+    signatures, hence every band collides — recovery of all 500 pairs with
+    est_jaccard exactly 1.0 is guaranteed, not probabilistic, so DuckDB can
+    predict the full result. (The id-difference filter is exact: original
+    ids are < 10000, so id_b - id_a = 10000 only holds for a doc and its
+    own copy.)"""
+    from defuddle_spark.ops.dedup import minhash_lsh_candidates
+    cand = minhash_lsh_candidates(_docs_doubled(spark, sf_dir))
+    return (cand
+            .filter((F.col("id_b") - F.col("id_a") == 10000)
+                    & (F.col("id_a") < 10000))
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC recall oracle for SimHash blocking: identical texts
+    produce identical 64-bit simhashes, so every planted pair shares all
+    pigeonhole block keys and verifies at hamming = 0 — full recall of the
+    500 planted pairs is SQL-predictable."""
+    from defuddle_spark.ops.dedup import simhash_near_pairs
+    pairs = simhash_near_pairs(_docs_doubled(spark, sf_dir), max_hamming=3)
+    return pairs.filter((F.col("id_b") - F.col("id_a") == 10000)
+                        & (F.col("id_a") < 10000))
+
+
+def q_embedding_neardup_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC recall oracle for the embedding-LSH scale path: the
+    planted copies here are EXACT duplicates (ids +20000, identical
+    vectors), so their hyperplane signatures match bit-for-bit, the
+    hamming-0 probe is guaranteed to emit the candidate, and the exact
+    verify rounds to cos_sim = 1.0. (The perturbed-copy variant stays
+    rows-only: its recall at 12 planes is genuinely probabilistic.)"""
+    from defuddle_spark.ops.similarity import cosine_neardup_lsh
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    dup = base.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+    pairs = cosine_neardup_lsh(base.unionByName(dup), dim=64, threshold=0.9)
+    return pairs.filter((F.col("id_b") - F.col("id_a") == 20000)
+                        & (F.col("id_a") < 20000))
+
+
+def q_ann_lsh_selfmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC oracle for LSH ANN: querying with vector 0's own
+    embedding must return vector 0 at cos_sim exactly 1.0 — its signature
+    is hamming-0 from the query signature by construction, so the bucket
+    probe is guaranteed to surface it (corpus max off-diagonal cosine is
+    ~0.51, far below a tie)."""
+    from defuddle_spark.ops.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(emb, [float(x) for x in query], k=1)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.textstats import token_stats
     return token_stats(_docs(spark, sf_dir))
@@ -419,7 +476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "multimodal_features": q_multimodal_features,
-        # rows-only (probabilistic / hash-seeded, not ANSI-SQL-expressible):
+        # deterministic planted-pair recall gates for the probabilistic ops
+        # (identical inputs => identical signatures => guaranteed recovery):
+        "minhash_lsh_planted": q_minhash_lsh_planted,
+        "simhash_planted": q_simhash_planted,
+        "embedding_neardup_lsh_planted": q_embedding_neardup_lsh_planted,
+        "ann_lsh_selfmatch": q_ann_lsh_selfmatch,
+        # rows-only (full candidate sets: probabilistic / hash-seeded, not
+        # ANSI-SQL-expressible — the *_planted variants above oracle their
+        # guaranteed subsets):
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -869,6 +934,27 @@ def oracle_sql() -> dict[str, str]:
                        round(list_dot_product(a.emb, b.emb) / (a.nn * b.nn), 4) AS cos_sim
                 FROM n a JOIN n b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.9
+        """,
+        "minhash_lsh_planted": """
+            -- identical planted texts => identical 64-perm signatures =>
+            -- every band collides => all 500 pairs recovered at exactly 1.0
+            SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS est_jaccard
+            FROM documents
+        """,
+        "simhash_planted": """
+            SELECT doc_id AS id_a, doc_id + 10000 AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM documents
+        """,
+        "embedding_neardup_lsh_planted": """
+            -- exact-duplicate vectors share hyperplane signatures bit-for-bit
+            SELECT vec_id AS id_a, vec_id + 20000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS cos_sim
+            FROM embeddings
+        """,
+        "ann_lsh_selfmatch": """
+            SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos_sim
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -181,11 +181,19 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     rows, not kilobyte payloads. Buckets larger than ``hot_bucket_cap``
     (boilerplate clusters sharing one band hash) are dropped with an eager
     warning log — a hot bucket is quadratic and unbounded otherwise.
+
+    Side effect: with ``log_dropped`` (default) CONSTRUCTING this frame runs
+    one Spark job (the hot-bucket accounting collect), which also
+    materializes the persisted signature frame the result plan reuses; pass
+    log_dropped=False for a fully lazy builder (see _drop_hot_buckets).
     """
     rows_per_band = num_perm // bands
-    # Persisted: the banding scan, the self-join sides, and the two
-    # signature re-attach joins all reuse it (AQE's runtime broadcast
-    # choices defeat exchange reuse, measured in round 1).
+    # Persisted: the banding scans, the self-join sides, and the two
+    # signature re-attach joins all read it (AQE's runtime broadcast
+    # choices defeat exchange reuse, measured in round 1). The banded frame
+    # itself is NOT persisted — it is a cheap codegen projection over the
+    # cached signatures, and round-2's extra persist (cache write + eviction
+    # pressure) measured slower than recomputing it per scan.
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k).persist()
     _register_cached(sigs)
     banded = sigs.select(
@@ -197,11 +205,6 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "band_hash"),
     )
-    # Persist the banded frame too: the hot-bucket stats job, the anti-join
-    # and BOTH self-join sides read it (4 scans otherwise re-derive the
-    # banding projection). Rows are (id, band, hash) — small and spillable.
-    banded = banded.persist()
-    _register_cached(banded)
     banded = _drop_hot_buckets(banded, ["band", "band_hash"], hot_bucket_cap,
                                "minhash_lsh_candidates", log_dropped)
     a = banded.alias("a")
@@ -334,6 +337,11 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     pass ``expected_docs`` to auto-widen for large corpora, e.g.
     expected_docs=10**9 picks ~30-bit keys. Buckets above
     ``hot_bucket_cap`` are dropped with an eager warning (no silent caps).
+
+    Side effect: with ``log_dropped`` (default) CONSTRUCTING this frame runs
+    one Spark job (the hot-bucket accounting collect), which also
+    materializes the persisted simhash frame the result plan reuses; pass
+    log_dropped=False for a fully lazy builder (see _drop_hot_buckets).
     """
     b_count = _simhash_block_plan(max_hamming, n_blocks, expected_docs,
                                   target_bucket)
@@ -354,11 +362,13 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     sims = simhash64(docs, id_col, text_col).persist()
     _register_cached(sims)
+    # chunks is a cheap codegen projection over the cached simhashes —
+    # recomputed per scan rather than persisted (same measured tradeoff as
+    # the minhash banding frame)
     chunks = sims.select(
         id_col,
         F.posexplode(F.array(*keys)).alias("chunk_idx", "chunk"),
-    ).persist()
-    _register_cached(chunks)
+    )
     chunks = _drop_hot_buckets(chunks, ["chunk_idx", "chunk"], hot_bucket_cap,
                                "simhash_near_pairs", log_dropped)
     a, b = chunks.alias("a"), chunks.alias("b")
