@@ -142,6 +142,23 @@ def q_extract_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("url", "title", "extracted_text", "word_count", "retry_used"))
 
 
+def q_extract_giant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier giant-page skew path end-to-end (pipeline.py
+    giant_threshold_bytes): every 50th page is ~1 MB (its paragraph
+    repeated 2000x), routed through the dedicated maximally-scattered
+    giant tier while normal pages ride the salted main wave. The oracle
+    reproduces the repeated text byte-identically, so per-url identity
+    across the tier split is hash-asserted at the gate."""
+    from defuddle_spark.spark.pages import synthesize_giant_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_giant_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"),
+                        with_routing_column=False,
+                        salt_partitions=spark.sparkContext.defaultParallelism,
+                        giant_threshold_bytes=100_000)
+    return out.select("url", "title", "extracted_text", "word_count")
+
+
 def q_extract_hackernews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractor routing through the driver gate: synthesized HN item pages
     → HackerNews extractor; every output column predictable in SQL."""
@@ -452,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_scored": q_extract_scored,
         "extract_table": q_extract_table,
         "extract_retry": q_extract_retry,
+        "extract_giant": q_extract_giant,
         "extract_hackernews": q_extract_hackernews,
         "extract_github": q_extract_github,
         "extract_youtube": q_extract_youtube,
@@ -627,6 +645,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(wc0 AS INTEGER) END AS word_count,
                    wc0 < 200 AS retry_used
             FROM pass1
+        """,
+        "extract_giant": f"""
+            -- giants (doc_id % 50 = 0) carry text repeated 2000x,
+            -- single-space-joined; word_count scales linearly
+            WITH g AS (
+                SELECT *,
+                       CASE WHEN doc_id % 50 = 0
+                            THEN repeat(text || ' ', 1999) || text
+                            ELSE text END AS etext,
+                       CASE WHEN doc_id % 50 = 0 THEN 2000 ELSE 1 END AS reps
+                FROM documents
+            )
+            SELECT 'https://giant.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   {_TITLE} AS title,
+                   etext AS extracted_text,
+                   CAST(reps * len({_TOKENS}) AS INTEGER) AS word_count
+            FROM g
         """,
         "extract_hackernews": f"""
             SELECT 'https://news.ycombinator.com/item?id=' || CAST(doc_id AS VARCHAR) AS url,

@@ -214,6 +214,57 @@ def synthesize_table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.col("lang"), F.col("doc_id"))
 
 
+# Giant-page skew archetype knobs: every GIANT_EVERY-th doc carries its
+# paragraph repeated GIANT_REPEATS times (single-space-joined), producing
+# the heavy-tailed multi-MB blobs of Common-Crawl reality among otherwise
+# normal pages. Module-level constants so the DuckDB oracle can reproduce
+# the exact string (repeat(text||' ', GIANT_REPEATS-1)||text).
+GIANT_EVERY = 50
+GIANT_REPEATS = 2000
+
+
+def synthesize_giant_pages(spark: SparkSession, sf_dir: str,
+                           giant_every: int = GIANT_EVERY,
+                           repeats: int = GIANT_REPEATS) -> DataFrame:
+    """Heavy-tailed skew archetype (north_rule "skew handled explicitly",
+    SURVEY.md §4.2): most pages are normal-sized, but every
+    ``giant_every``-th doc's article paragraph is the text repeated
+    ``repeats`` times — ~1 MB of HTML at the testdata's ~500-byte texts,
+    100x the median kernel time, the straggler shape the two-tier
+    ``giant_threshold_bytes`` path in extract_pages exists for.
+
+    Extraction stays SQL-predictable per the synthesis contract:
+    extracted_text is the space-joined repetition and word_count scales
+    linearly with ``repeats``.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://giant.example.test/"), F.col("lang"),
+                   F.lit("/"), F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    is_giant = F.col("doc_id") % giant_every == 0
+    body_text = F.when(
+        is_giant,
+        F.concat_ws(" ", F.array_repeat(F.col("text"), repeats)),
+    ).otherwise(F.col("text"))
+    html_str = F.concat(
+        F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"><title>'),
+        title, F.lit("</title></head><body>"),
+        F.lit('<header><div class="logo">Example Docs</div></header>'
+              '<nav><a href="/">Home</a><a href="/archive">Archive</a></nav>'),
+        F.lit("<article><h1>"), title, F.lit("</h1><p>"), body_text,
+        F.lit("</p></article>"),
+        F.lit('<aside class="sidebar">Trending: <a href="/p1">One</a></aside>'
+              "<footer>© 2024 Example Docs. All rights reserved.</footer>"
+              "</body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))
+
+
 # Byline text used by the retry archetype; the oracle concatenates it
 # verbatim (no separator: Element.text() joins adjacent blocks without one).
 RETRY_BYLINE = "Reviewed with care by Synthetic Author"

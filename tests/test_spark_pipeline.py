@@ -161,3 +161,24 @@ def test_selection_path_archetypes(spark):
     assert long_.filter(F.col("extracted_text").contains(RETRY_BYLINE)).count() == 0
     assert long_.filter(F.col("word_count") < 200).count() == 0
     j.unpersist()
+
+
+def test_giant_two_tier_byte_identity(spark):
+    """The two-tier giant split (giant_threshold_bytes) must be a pure
+    scheduling decision: per-url results byte-identical to the single-tier
+    path on a corpus with planted ~1MB giants."""
+    from defuddle_spark.spark.pages import synthesize_giant_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_giant_pages(spark, "/root/testdata/sf0.001").filter(
+        "doc_id < 120").select("url", "html")
+    cols = ["url", "title", "content", "extracted_text", "word_count",
+            "retry_used", "error"]
+    one = {r["url"]: r for r in extract_pages(
+        pages, with_routing_column=False).select(*cols).collect()}
+    two = {r["url"]: r for r in extract_pages(
+        pages, with_routing_column=False,
+        giant_threshold_bytes=100_000).select(*cols).collect()}
+    assert set(one) == set(two) and len(one) == 120
+    assert any(len(r["extracted_text"]) > 500_000 for r in one.values())
+    for url, r in one.items():
+        assert tuple(r) == tuple(two[url]), url
