@@ -1,11 +1,31 @@
 """HTML → Markdown conversion (K1, SURVEY.md §2.8).
 
-The reference delegates to JohannesKaufmann/html-to-markdown v2 and then
-trims + collapses triple newlines (/root/reference/internal/markdown/
+The reference delegates to JohannesKaufmann/html-to-markdown v2.5.1 and
+then trims + collapses triple newlines (/root/reference/internal/markdown/
 convert.go:13-23). This is a from-scratch converter over our DOM that
-matches the output shapes the reference's tests pin
-(convert_test.go:38-69): ATX headings, inline links/images, `- ` bullets,
-`1. ` ordered items, `> ` blockquotes, fenced code with language.
+targets that library's publicly documented CommonMark output conventions:
+
+- ATX headings, ``**``/``*`` emphasis (nested → ``***``), ``- `` bullets,
+  ``1. `` ordered items (honouring ``start=``), ``> `` blockquotes,
+  ``---`` thematic breaks, fenced code with the ``language-*`` class.
+- Smart escaping: markdown-significant characters in text are
+  backslash-escaped only where they could be re-parsed as markup —
+  ``*`` only when flanking a word, ``_`` only at word boundaries
+  (``snake_case`` survives), ``#``/``-``/``+``/``>``/``N.`` only at
+  line starts, ``!`` only before ``[``, ``~`` only in ``~~`` runs.
+- CommonMark code spans: the backtick fence grows past the longest
+  backtick run in the content and pads with spaces when the content
+  starts/ends with a backtick.
+- Link destinations containing whitespace are wrapped in ``<...>``;
+  parentheses are backslash-escaped; ``title=`` attributes render as
+  ``[text](href "title")`` / ``![alt](src "title")``.
+- ``<br>`` renders as a backslash hard break.
+
+Per-construct parity status (byte-parity-expected vs divergent, with
+reasons) is catalogued in COVERAGE.md §2.8 — the library cannot be
+executed in this container, so behaviors are grounded in its public
+README/docs and the reference's own Contains-assertions
+(convert_test.go:38-69).
 
 Depth-bounded like the reference library (convert_behavior_test.go:8-16
 expects an error on 20k-deep nesting): raises MarkdownError beyond
@@ -29,6 +49,118 @@ class MarkdownError(Exception):
 _WS_RE = re.compile(r"\s+")
 _LANG_RE = re.compile(r"language-([\w+#-]+)")
 
+# --- smart escaping -------------------------------------------------------
+
+# Always-dangerous inline characters. * and _ get contextual treatment
+# below; # - + > and ordered-list dots are line-start-only and handled by
+# _escape_line_starts on assembled paragraph text.
+_BACKSLASH_RE = re.compile(r"\\")
+_BACKTICK_RE = re.compile(r"`")
+_BRACKET_RE = re.compile(r"[\[\]]")
+_PIPE_RE = re.compile(r"\|")
+# * flanked by a non-space on either side could open/close emphasis
+_STAR_RE = re.compile(r"(?<=\S)\*|\*(?=\S)")
+# _ opens/closes emphasis only at word boundaries (intraword _ is inert)
+_UNDERSCORE_RE = re.compile(r"(?<![0-9A-Za-z_])_|_(?![0-9A-Za-z_])")
+# ~ matters only in ~~ strikethrough runs
+_TILDE_RUN_RE = re.compile(r"~{2,}")
+# < could start raw HTML or an autolink
+_LT_RE = re.compile(r"<(?=[A-Za-z/!?])")
+# ! only before [ (image opener)
+_BANG_RE = re.compile(r"!(?=\[)")
+
+_LINE_START_RES = (
+    re.compile(r"^(#{1,6})(?=[ \t]|$)"),       # ATX heading
+    re.compile(r"^([-+*])(?=[ \t])"),          # bullet marker
+    re.compile(r"^(>)"),                       # blockquote
+    re.compile(r"^(?:[-*_][ \t]*){3,}$"),      # thematic break line
+    re.compile(r"^(=+)[ \t]*$"),               # setext underline
+)
+_ORDERED_START_RE = re.compile(r"^(\d{1,9})([.)])(?=[ \t]|$)")
+
+
+def _escape_chars(s: str) -> str:
+    """Backslash-escape inline-dangerous characters in a text node.
+
+    Mirrors the v2 library's smart-escaping intent: escape only where a
+    markdown parser could re-interpret the character, so prose like
+    ``2 * 3`` or ``snake_case`` passes through untouched.
+    """
+    s = _BACKSLASH_RE.sub(r"\\\\", s)
+    s = _BACKTICK_RE.sub(r"\\`", s)
+    s = _BRACKET_RE.sub(lambda m: "\\" + m.group(0), s)
+    s = _PIPE_RE.sub(r"\\|", s)
+    s = _STAR_RE.sub(r"\\*", s)
+    s = _UNDERSCORE_RE.sub(r"\\_", s)
+    s = _TILDE_RUN_RE.sub(lambda m: "\\" + "\\".join(m.group(0)), s)
+    s = _LT_RE.sub(r"\\<", s)
+    s = _BANG_RE.sub(r"\\!", s)
+    return s
+
+
+def _escape_line_starts(text: str) -> str:
+    """Escape block-level markers at the start of each output line.
+
+    Applied to assembled paragraph text (the only place our renderer
+    emits bare line starts — headings, list items, and blockquotes all
+    prefix their own markers).
+    """
+    out = []
+    for line in text.split("\n"):
+        stripped = line.lstrip(" ")
+        pad = line[:len(line) - len(stripped)]
+        for rx in _LINE_START_RES:
+            if rx.match(stripped):
+                stripped = "\\" + stripped
+                break
+        else:
+            m = _ORDERED_START_RE.match(stripped)
+            if m:
+                # escape the dot/paren, not the digits: 1. -> 1\.
+                stripped = (stripped[:m.end(1)] + "\\" +
+                            stripped[m.end(1):])
+        out.append(pad + stripped)
+    return "\n".join(out)
+
+
+def _escape_link_dest(href: str) -> str:
+    """CommonMark link destination: <>-wrap when it contains whitespace,
+    otherwise backslash-escape parentheses."""
+    if any(c in href for c in " \t\n<>"):
+        return "<" + href.replace("\\", "\\\\").replace("<", "\\<") \
+                         .replace(">", "\\>") + ">"
+    return href.replace("(", "\\(").replace(")", "\\)")
+
+
+def _title_suffix(el: Element) -> str:
+    title = el.get("title")
+    if not title:
+        return ""
+    return ' "' + title.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _code_span(content: str) -> str:
+    """CommonMark code span: fence longer than any backtick run inside,
+    space-padded when the content begins/ends with a backtick."""
+    content = _WS_RE.sub(" ", content)
+    if not content.strip():
+        return ""
+    runs = re.findall(r"`+", content)
+    fence = "`" * ((max(len(r) for r in runs) + 1) if runs else 1)
+    pad = " " if (content.startswith("`") or content.endswith("`")) else ""
+    return f"{fence}{pad}{content}{pad}{fence}"
+
+
+def _emph(inner: str, delim: str) -> str:
+    """Wrap with emphasis delimiters, hoisting boundary whitespace outside
+    (``a<b> x </b>b`` must not become ``a** x **b``)."""
+    core = inner.strip()
+    if not core:
+        return inner  # whitespace-only: keep the spacing, drop the markup
+    lead = " " if inner[:1].isspace() else ""
+    trail = " " if inner[-1:].isspace() else ""
+    return f"{lead}{delim}{core}{delim}{trail}"
+
 
 def _inline_text(el, depth: int) -> str:
     """Render inline content of an element."""
@@ -38,34 +170,42 @@ def _inline_text(el, depth: int) -> str:
     for child in el.children:
         t = child.type
         if t == TEXT:
-            parts.append(_WS_RE.sub(" ", child.data))
+            parts.append(_escape_chars(_WS_RE.sub(" ", child.data)))
         elif t == ELEMENT:
             tag = child.tag
+            if tag == "code":
+                parts.append(_code_span(child.text()))
+                continue
             inner = _inline_text(child, depth + 1)
             if tag in ("strong", "b"):
-                s = inner.strip()
-                parts.append(f"**{s}**" if s else "")
+                parts.append(_emph(inner, "**"))
             elif tag in ("em", "i"):
-                s = inner.strip()
-                parts.append(f"*{s}*" if s else "")
-            elif tag == "code":
-                parts.append(f"`{inner.strip()}`" if inner.strip() else "")
+                parts.append(_emph(inner, "*"))
             elif tag == "a":
                 href = child.get("href") or ""
                 s = inner.strip()
-                parts.append(f"[{s}]({href})" if href else s)
+                if href:
+                    parts.append(
+                        f"[{s}]({_escape_link_dest(href)}"
+                        f"{_title_suffix(child)})")
+                else:
+                    parts.append(s)
             elif tag == "img":
-                alt = child.get("alt") or ""
+                alt = _BRACKET_RE.sub(
+                    lambda m: "\\" + m.group(0), child.get("alt") or "")
                 src = child.get("src") or child.get("data-src") or ""
-                parts.append(f"![{alt}]({src})" if src else "")
+                if src:
+                    parts.append(
+                        f"![{alt}]({_escape_link_dest(src)}"
+                        f"{_title_suffix(child)})")
             elif tag == "br":
-                parts.append("\n")
+                parts.append("\\\n")
             elif tag in ("del", "s", "strike"):
-                s = inner.strip()
-                parts.append(f"~~{s}~~" if s else "")
+                parts.append(_emph(inner, "~~"))
             else:
                 parts.append(inner)
-    return "".join(parts)
+    # emphasis whitespace hoisting can double up spaces at boundaries
+    return re.sub(r" {2,}", " ", "".join(parts))
 
 
 def _render_blocks(el, depth: int, out: List[str]) -> None:
@@ -77,12 +217,12 @@ def _render_blocks(el, depth: int, out: List[str]) -> None:
         text = "".join(inline_buf).strip()
         inline_buf.clear()
         if text:
-            out.append(text)
+            out.append(_escape_line_starts(text))
 
     for child in el.children:
         t = child.type
         if t == TEXT:
-            inline_buf.append(_WS_RE.sub(" ", child.data))
+            inline_buf.append(_escape_chars(_WS_RE.sub(" ", child.data)))
             continue
         if t == COMMENT:
             continue
@@ -90,17 +230,19 @@ def _render_blocks(el, depth: int, out: List[str]) -> None:
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             flush_inline()
             level = int(tag[1])
-            text = _inline_text(child, depth + 1).strip()
+            text = _WS_RE.sub(" ", _inline_text(child, depth + 1)).strip()
             if text:
                 out.append("#" * level + " " + text)
         elif tag == "p":
             flush_inline()
             text = _inline_text(child, depth + 1).strip()
             if text:
-                out.append(text)
+                out.append(_escape_line_starts(text))
         elif tag in ("ul", "ol"):
             flush_inline()
-            out.append(_render_list(child, depth + 1, indent=""))
+            lst = _render_list(child, depth + 1, indent="")
+            if lst:
+                out.append(lst)
         elif tag == "blockquote":
             flush_inline()
             sub: List[str] = []
@@ -121,7 +263,10 @@ def _render_blocks(el, depth: int, out: List[str]) -> None:
             elif src.get("data-lang"):
                 lang = src.get("data-lang")
             body = src.text().strip("\n")
-            out.append(f"```{lang}\n{body}\n```")
+            # grow the fence past any backtick run in the body
+            runs = re.findall(r"`{3,}", body)
+            fence = "`" * ((max(len(r) for r in runs) + 1) if runs else 3)
+            out.append(f"{fence}{lang}\n{body}\n{fence}")
         elif tag == "hr":
             flush_inline()
             out.append("---")
@@ -145,8 +290,6 @@ def _render_blocks(el, depth: int, out: List[str]) -> None:
 
 
 def _inline_text_of_node(node: Element, depth: int) -> str:
-    holder = Element("span")
-    # reuse inline renderer by viewing the node as a single child
     fake = Element("span")
     fake.children = [node]
     try:
@@ -158,7 +301,10 @@ def _inline_text_of_node(node: Element, depth: int) -> str:
 def _render_list(lst: Element, depth: int, indent: str) -> str:
     ordered = lst.tag == "ol"
     lines: List[str] = []
-    idx = 0
+    try:
+        idx = int(lst.get("start") or 1) - 1
+    except ValueError:
+        idx = 0
     for li in lst.element_children():
         if li.tag != "li":
             continue
@@ -173,7 +319,7 @@ def _render_list(lst: Element, depth: int, indent: str) -> str:
                 inline_parts.append(_inline_text(c, depth + 1))
                 inline_parts.append(" ")
             elif c.type == TEXT:
-                inline_parts.append(_WS_RE.sub(" ", c.data))
+                inline_parts.append(_escape_chars(_WS_RE.sub(" ", c.data)))
             elif c.type == ELEMENT:
                 inline_parts.append(_inline_text_of_node(c, depth + 1))
         text = "".join(inline_parts).strip()
@@ -188,7 +334,8 @@ def _render_table(table: Element, depth: int) -> str:
     for tr in (d for d in table.descendants() if d.tag == "tr"):
         cells = [c for c in tr.element_children() if c.tag in ("td", "th")]
         if cells:
-            rows.append([_inline_text(c, depth + 1).strip() for c in cells])
+            rows.append([_WS_RE.sub(" ", _inline_text(c, depth + 1)).strip()
+                         for c in cells])
     if not rows:
         return ""
     width = max(len(r) for r in rows)

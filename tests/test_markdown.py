@@ -68,3 +68,86 @@ def test_kernel_markdown_option():
     r2 = extract_document(html2, options=Options(separate_markdown=True))
     assert "<p>Readable markdown body.</p>" in r2.content
     assert "Readable markdown body" in r2.content_markdown
+
+
+# --- K1 byte-parity constructs (html-to-markdown v2 conventions) ---------
+# The Go library cannot run in this container; these pin the publicly
+# documented CommonMark output conventions it follows. Per-construct
+# parity status is catalogued in COVERAGE.md §2.8.
+
+def test_smart_escaping_inline():
+    got = convert_html("<p>2 * 3 = 6, snake_case, _it_, a*b, #tag, x!y</p>")
+    assert "2 * 3 = 6" in got            # isolated * not escaped
+    assert "snake_case" in got           # intraword _ not escaped
+    assert r"\_it\_" in got              # word-boundary _ escaped
+    assert r"a\*b" in got                # flanking * escaped
+    assert "#tag" in got                 # mid-line # not escaped
+    assert "x!y" in got                  # ! only escaped before [
+
+
+def test_smart_escaping_line_starts():
+    got = convert_html(
+        "<p># heading<br>- bullet<br>1. item<br>&gt; quote<br>--- rule</p>")
+    assert got.startswith(r"\# heading")
+    for frag in (r"\- bullet", r"1\. item", r"\> quote"):
+        assert frag in got, got
+
+
+def test_escaping_brackets_pipes_tildes():
+    got = convert_html("<p>[x] | ~~y~~ &lt;div&gt; `tick`</p>")
+    assert r"\[x\]" in got
+    assert r"\|" in got
+    assert r"\~\~y\~\~" in got
+    assert r"\<div>" in got
+    assert r"\`tick\`" in got
+
+
+def test_nested_emphasis_and_whitespace_hoisting():
+    assert convert_html("<p><strong><em>x</em></strong></p>") == "***x***"
+    assert convert_html("<p>a<b> x </b>b</p>") == "a **x** b"
+    assert convert_html("<p><del>gone</del></p>") == "~~gone~~"
+    assert convert_html("<p><b>  </b>k</p>") == "k"
+
+
+def test_code_span_fence_expansion():
+    assert convert_html("<p><code>a ` b</code></p>") == "``a ` b``"
+    assert convert_html("<p><code>`tick`</code></p>") == "`` `tick` ``"
+    assert convert_html("<p><code>plain</code></p>") == "`plain`"
+
+
+def test_code_block_fence_expansion():
+    got = convert_html("<pre><code>has ``` inside</code></pre>")
+    assert got == "````\nhas ``` inside\n````"
+
+
+def test_link_destination_and_title():
+    got = convert_html(
+        '<p><a href="https://x.test/a(1)" title=\'T "q"\'>l</a></p>')
+    assert got == '[l](https://x.test/a\\(1\\) "T \\"q\\"")'
+    got2 = convert_html('<p><a href="https://x.test/with space">s</a></p>')
+    assert got2 == "[s](<https://x.test/with space>)"
+
+
+def test_image_alt_and_title():
+    got = convert_html('<p><img src="/i.png" alt="a [b]" title="T"></p>')
+    assert got == '![a \\[b\\]](/i.png "T")'
+
+
+def test_ordered_list_start_attribute():
+    got = convert_html('<ol start="3"><li>three</li><li>four</li></ol>')
+    assert got == "3. three\n4. four"
+
+
+def test_hard_break_is_backslash():
+    assert convert_html("<p>a<br>b</p>") == "a\\\nb"
+
+
+def test_hr_is_triple_dash():
+    assert convert_html("<p>a</p><hr><p>b</p>") == "a\n\n---\n\nb"
+
+
+def test_no_escaping_inside_code():
+    got = convert_html("<pre><code>*raw* _x_ [y] # z</code></pre>")
+    assert "*raw* _x_ [y] # z" in got
+    got2 = convert_html("<p><code>*raw*</code></p>")
+    assert got2 == "`*raw*`"
