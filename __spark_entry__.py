@@ -159,6 +159,33 @@ def q_extract_giant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "title", "extracted_text", "word_count")
 
 
+def q_extract_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document debug surface (internal/debug/debugger.go:12-59) at the
+    gate: kernel_options={"debug": True} emits a debug_json column; the
+    deterministic statistics (element counts over the fixed-layout
+    archetype, step names, extractor) are hash-asserted against constants.
+    Timings are nondeterministic and excluded."""
+    from defuddle_spark.spark.pages import synthesize_giant_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    # repeats=1 => no giants: a fixed-layout corpus where every debug
+    # statistic is a per-corpus constant
+    pages = synthesize_giant_pages(spark, sf_dir, repeats=1)
+    out = extract_pages(pages.select("url", "html"),
+                        with_routing_column=False,
+                        kernel_options={"debug": True})
+    j = lambda p: F.get_json_object("debug_json", p)  # noqa: E731
+    return out.select(
+        "url", "word_count",
+        j("$.statistics.originalElementCount").cast("int").alias("orig_elements"),
+        j("$.statistics.finalElementCount").cast("int").alias("final_elements"),
+        j("$.statistics.removedElementCount").cast("int").alias("removed_elements"),
+        j("$.statistics.wordCount").cast("int").alias("debug_word_count"),
+        j("$.statistics.imageCount").cast("int").alias("image_count"),
+        j("$.statistics.linkCount").cast("int").alias("link_count"),
+        j("$.processingSteps[*].step").alias("steps"),
+        j("$.extractorUsed").alias("extractor_used"))
+
+
 def q_extract_hackernews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extractor routing through the driver gate: synthesized HN item pages
     → HackerNews extractor; every output column predictable in SQL."""
@@ -470,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_table": q_extract_table,
         "extract_retry": q_extract_retry,
         "extract_giant": q_extract_giant,
+        "extract_debug": q_extract_debug,
         "extract_hackernews": q_extract_hackernews,
         "extract_github": q_extract_github,
         "extract_youtube": q_extract_youtube,
@@ -663,6 +691,25 @@ def oracle_sql() -> dict[str, str]:
                    etext AS extracted_text,
                    CAST(reps * len({_TOKENS}) AS INTEGER) AS word_count
             FROM g
+        """,
+        "extract_debug": f"""
+            -- fixed-layout corpus: every debug statistic is a constant.
+            -- orig == final == 6 replicates the reference quirk of
+            -- recounting "original" from the mutated workingDoc
+            -- (defuddle.go:502,605); the layout's nav/aside/footer are
+            -- removed, leaving html,head,meta,title,body... 6 elements.
+            SELECT 'https://giant.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(len({_TOKENS}) AS INTEGER) AS word_count,
+                   6 AS orig_elements,
+                   6 AS final_elements,
+                   0 AS removed_elements,
+                   CAST(len({_TOKENS}) AS INTEGER) AS debug_word_count,
+                   0 AS image_count,
+                   0 AS link_count,
+                   '["schema_org_extraction","standard_parsing"]' AS steps,
+                   CAST(NULL AS VARCHAR) AS extractor_used
+            FROM documents
         """,
         "extract_hackernews": f"""
             SELECT 'https://news.ycombinator.com/item?id=' || CAST(doc_id AS VARCHAR) AS url,

@@ -103,6 +103,10 @@ class Result:
     meta_tags: List[dict] = field(default_factory=list)
     retry_used: bool = False
     error: Optional[str] = None
+    # types.go:89 DebugInfo *debug.Info `json:"debugInfo,omitempty"` —
+    # populated only when Options.debug is set; plain dict with the
+    # reference's JSON field names (see defuddle_spark.debug).
+    debug_info: Optional[dict] = None
     # Internal: elements removed by the partial-selector branch in this pass
     # (not part of the output contract; drives the retry-skip fast path).
     partial_removals: int = 0
@@ -367,10 +371,29 @@ def _parse_internal(html_str: str, options: Options,
     start = time.monotonic()
     doc = _doc if _doc is not None else parse(html_str)
 
+    # Per-document debug tracking (defuddle.go:411-417); a disabled
+    # Debugger is a no-op shell, matching debug.NewDebugger(false).
+    from .debug import Debugger
+    dbg = Debugger(options.debug)
+    dbg.start_timer("total_parsing")
+    if dbg.enabled:
+        dbg.set_statistics(
+            originalElementCount=sum(1 for _ in doc.descendants()))
+
     if _pre is not None:
         schema_items, meta_tags, meta = _pre
+        dbg.add_processing_step(
+            "schema_org_extraction",
+            f"Extracted {len(schema_items)} schema.org items",
+            len(schema_items), "")
     else:
+        dbg.start_timer("schema_extraction")
         schema_items = schema_org.extract_schema_org(doc.html)
+        dbg.end_timer("schema_extraction")
+        dbg.add_processing_step(
+            "schema_org_extraction",
+            f"Extracted {len(schema_items)} schema.org items",
+            len(schema_items), "")
         meta_tags = collect_meta_tags(doc)
         meta = metadata.extract(doc.html, schema_items, meta_tags, options.url)
 
@@ -378,6 +401,7 @@ def _parse_internal(html_str: str, options: Options,
     from .extractors import find_extractor  # local import to avoid cycles
     extractor = find_extractor(doc, options.url, schema_items)
     if extractor is not None and extractor.can_extract():
+        dbg.set_extractor_used(extractor.name())
         extracted = extractor.extract()
         site = extracted.variables.get("site", meta["site"]) if extracted.variables else meta["site"]
         result = Result(
@@ -397,6 +421,12 @@ def _parse_internal(html_str: str, options: Options,
         )
         result.extracted_text = parse(extracted.content_html).html.text()
         _maybe_markdown(result, options)
+        if dbg.enabled:  # defuddle.go:485-488
+            dbg.end_timer("total_parsing")
+            dbg.add_processing_step(
+                "extractor",
+                "Used site-specific extractor: " + extractor.name(), 1, "")
+            result.debug_info = dbg.get_info()
         result.parse_time_ms = int((time.monotonic() - start) * 1000)
         return result
 
@@ -419,6 +449,12 @@ def _parse_internal(html_str: str, options: Options,
             **{k: meta[k] for k in ("title", "description", "domain", "favicon",
                                     "image", "published", "author", "site")},
         )
+        if dbg.enabled:  # defuddle.go:533-537 (initial statistics kept)
+            dbg.end_timer("total_parsing")
+            dbg.add_processing_step(
+                "fallback", "Used fallback body content extraction", 1,
+                "No main content found")
+            result.debug_info = dbg.get_info()
         result.parse_time_ms = int((time.monotonic() - start) * 1000)
         return result
 
@@ -459,6 +495,27 @@ def _parse_internal(html_str: str, options: Options,
                                 "image", "published", "author", "site")},
     )
     _maybe_markdown(result, options)
+    if dbg.enabled:  # defuddle.go:599-615
+        dbg.end_timer("total_parsing")
+        dbg.add_processing_step(
+            "standard_parsing", "Used standard content extraction algorithm",
+            1, "")
+        # Final statistics recount "original" from d.doc — which IS the
+        # mutated workingDoc (workingDoc := d.doc, defuddle.go:502) — so
+        # original == final and removed == 0 in the reference's standard
+        # path. Replicated quirk, not a bug here.
+        n_final = sum(1 for _ in doc.descendants())
+        dbg.set_statistics(
+            originalElementCount=n_final,
+            finalElementCount=n_final,
+            removedElementCount=0,
+            wordCount=result.word_count,
+            characterCount=len(content),
+            imageCount=sum(1 for d in doc.html.descendants()
+                           if d.tag == "img"),
+            linkCount=sum(1 for d in doc.html.descendants() if d.tag == "a"),
+        )
+        result.debug_info = dbg.get_info()
     result.parse_time_ms = int((time.monotonic() - start) * 1000)
     return result
 

@@ -47,6 +47,10 @@ RESULT_SCHEMA = StructType([
     ]))),
     StructField("retry_used", BooleanType()),
     StructField("error", StringType()),
+    # JSON-serialized debug.Info (types.go:89 debugInfo omitempty) —
+    # null unless kernel_options={"debug": True}; a null string column
+    # costs nothing in Tungsten row layout.
+    StructField("debug_json", StringType()),
 ])
 
 _RESULT_FIELDS = [f.name for f in RESULT_SCHEMA.fields]
@@ -60,6 +64,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
     Imported lazily on executors; selector tables compile once per worker
     process (module-level caches in defuddle_spark.selectors).
     """
+    import json as _json
+
     from defuddle_spark.kernel import Options, extract_document_bytes
 
     opts = Options(remove_images=remove_images, **(kernel_options or {}))
@@ -70,13 +76,15 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
                 html = b""
             if isinstance(html, memoryview):
                 html = bytes(html)
-            opts.url = url
             r = extract_document_bytes(html, url=url, options=opts)
             rows.append((
                 url, r.title, r.description, r.domain, r.favicon, r.image,
                 r.published, r.author, r.site, r.content, r.extracted_text,
                 r.word_count, r.parse_time_ms, r.extractor_type, r.schema_org,
                 r.meta_tags or [], r.retry_used, r.error,
+                _json.dumps(r.debug_info, ensure_ascii=False,
+                            separators=(",", ":"))
+                if r.debug_info is not None else None,
             ))
         yield pd.DataFrame(rows, columns=_RESULT_FIELDS)
 
