@@ -202,7 +202,9 @@ _IMPLIED_END = {
     "tr": frozenset({"tr"}),
     "td": frozenset({"td", "th"}),
     "th": frozenset({"td", "th"}),
-    "option": frozenset({"option", "optgroup"}),
+    # option start closes only an open option; optgroup handling (which
+    # also pops an open optgroup) lives in the in-select rules
+    "option": frozenset({"option"}),
     "thead": frozenset({"thead", "tbody", "tfoot"}),
     "tbody": frozenset({"thead", "tbody", "tfoot"}),
     "tfoot": frozenset({"thead", "tbody", "tfoot"}),
@@ -514,7 +516,10 @@ class _TreeBuilder(HTMLParser):
     # which handle_data decodes below. Without this, markup-looking text
     # inside <title>/<textarea> is parsed as real elements (x/net/html
     # treats both as text-only).
-    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+    # noframes is rawtext everywhere per spec (the generic raw text
+    # elements parsing algorithm; x/net/html inHeadIM noframes case)
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea",
+                              "noframes")
     _RCDATA_ELEMENTS = ("title", "textarea")
 
     def __init__(self, fragment: bool = False) -> None:
@@ -540,10 +545,46 @@ class _TreeBuilder(HTMLParser):
         self.ns = [""]
         # list of active formatting elements (Element | _MARKER sentinel)
         self.afe: list = []
+        # frameset document: body was replaced by a root <frameset>
+        # (spec in-body <frameset> / in-frameset / after-frameset modes)
+        self.frameset_doc = False
 
     # -- helpers --
     def _cur(self) -> Element:
         return self.stack[-1]
+
+    @staticmethod
+    def _plain_attrs(attrs) -> list:
+        seen = set()
+        pairs = []
+        for k, v in attrs:
+            k = k.lower()
+            if k in seen:
+                continue
+            seen.add(k)
+            pairs.append([k, v if v is not None else ""])
+        return pairs
+
+    def _frameset_ok(self) -> bool:
+        """Approximates the spec's frameset-ok flag: a root <frameset> may
+        replace the body only while the body holds no real content."""
+        for c in self.body.children:
+            if c.type == ELEMENT:
+                return False
+            if c.type == TEXT and c.data.strip():
+                return False
+        return True
+
+    def _in_select(self):
+        """Stack index of the open <select> governing the current insertion
+        point (only option/optgroup may sit above it), else None."""
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t == "select":
+                return i
+            if t not in ("option", "optgroup"):
+                return None
+        return None
 
     def _push(self, el: Element, ns: str = "") -> None:
         self.ns.append(ns)
@@ -914,13 +955,69 @@ class _TreeBuilder(HTMLParser):
                         self.head.set_attr(k, v or "")
                 return
             if tag == "body":
+                if self.frameset_doc:
+                    return
                 self._start_body()
                 for k, v in attrs:
                     if not self.body.has_attr(k):
                         self.body.set_attr(k, v or "")
                 return
+            if tag == "frameset":
+                cur = self._cur()
+                if cur.tag == "frameset":  # in-frameset: nest
+                    el = Element("frameset", self._plain_attrs(attrs))
+                    cur.append(el)
+                    self._push(el)
+                elif not self.frameset_doc and self._frameset_ok():
+                    # spec in-body <frameset>: detach the body, attach the
+                    # frameset to html, switch to in-frameset
+                    self.body.detach()
+                    fs = Element("frameset", self._plain_attrs(attrs))
+                    self.html.append(fs)
+                    self.body_started = True
+                    self.frameset_doc = True
+                    self.stack = [self.html, fs]
+                    self.ns = ["", ""]
+                # frameset-ok false: parse error, token ignored
+                return
+            if tag == "frame":
+                if self._cur().tag == "frameset":
+                    # insert and immediately pop (spec in-frameset)
+                    self._cur().append(Element("frame",
+                                               self._plain_attrs(attrs)))
+                return  # ignored outside a frameset (in-body rule)
+            if self.frameset_doc and tag != "noframes" and (
+                    self._cur().tag == "frameset" or self._cur() is self.html):
+                return  # in-frameset / after-frameset: anything else ignored
             if not self.body_started and tag not in HEAD_ELEMENTS:
                 self._start_body()
+
+        # "In select" rules (spec 13.2.6.4.16; x/net/html inSelectIM):
+        # only option/optgroup/hr/script/template open inside a select;
+        # input/keygen/textarea and a nested <select> close it; table
+        # tokens fall through to the in-select-in-table pop below; any
+        # other start tag is ignored.
+        sel = self._in_select()
+        if sel is not None:
+            if tag == "select":
+                self._truncate(sel)
+                return
+            if tag in ("input", "keygen", "textarea"):
+                self._truncate(sel)  # pop the select, reprocess below
+            elif tag == "option":
+                if self._cur().tag == "option":
+                    self._truncate(len(self.stack) - 1)
+            elif tag in ("optgroup", "hr"):
+                if self._cur().tag == "option":
+                    self._truncate(len(self.stack) - 1)
+                if self._cur().tag == "optgroup":
+                    self._truncate(len(self.stack) - 1)
+            elif tag in ("script", "template", "caption", "table", "tbody",
+                         "tfoot", "thead", "tr", "td", "th", "col",
+                         "colgroup"):
+                pass  # table tokens: in-select-in-table handling below
+            else:
+                return  # parse error, ignore
 
         # "In body" table-structure start tags with no open table are
         # parse errors and IGNORED (spec 13.2.6.4.7; x/net/html inBodyIM
@@ -929,7 +1026,9 @@ class _TreeBuilder(HTMLParser):
                    "tfoot", "th", "thead", "tr"):
             for e in reversed(self.stack):
                 t = e.tag
-                if t == "table":
+                if t in ("table", "template"):
+                    # template contents host table-structure tags without a
+                    # table (spec in-template pushes the table modes)
                     break
                 if t in ("body", "html", "#fragment"):
                     return
@@ -980,7 +1079,10 @@ class _TreeBuilder(HTMLParser):
             tr = Element("tr")
             tbody.append(tr)
             self._push(tr)
-        elif tag in ("td", "th") and self._cur().tag in ("tbody", "thead", "tfoot"):
+        elif tag in ("td", "th") and self._cur().tag in ("tbody", "thead",
+                                                         "tfoot", "template"):
+            # template: the spec's in-table-body reprocessing implies a
+            # <tr> but no tbody (clear-back stops at template)
             tr = Element("tr")
             self._cur().append(tr)
             self._push(tr)
@@ -1058,6 +1160,9 @@ class _TreeBuilder(HTMLParser):
             if tag == "head" and not self.body_started:
                 self._start_body()
             return
+        if self.frameset_doc and tag != "frameset" and (
+                self._cur().tag == "frameset" or self._cur() is self.html):
+            return  # in-frameset / after-frameset: end tags ignored
         if self.ns[-1]:
             # Foreign-content end tag (x/net/html parseForeignContent):
             # pop to a case-insensitive match among foreign nodes; hitting
@@ -1119,6 +1224,13 @@ class _TreeBuilder(HTMLParser):
                 data = data[1:]
                 if not data:
                     return
+        if self.frameset_doc:
+            cur = self._cur()
+            if cur.tag == "frameset" or cur is self.html:
+                # in-frameset / after-frameset: whitespace only
+                data = "".join(c for c in data if c in " \t\n\r\f")
+                if not data:
+                    return
         if not self.fragment and not self.body_started:
             cur = self._cur()
             if cur is self.head:
@@ -1162,6 +1274,24 @@ class _TreeBuilder(HTMLParser):
 
     def handle_decl(self, decl: str) -> None:
         pass  # doctype dropped (we re-serialize inner content only)
+
+    def unknown_decl(self, data: str) -> None:
+        # <![CDATA[...]]> is a real text token inside foreign content
+        # (spec 13.2.5.42 "markup declaration open state" / x/net/html
+        # tokenizer CDATA handling); elsewhere it is a bogus comment,
+        # which we drop like other comments-in-content.
+        if self.ns[-1] and data.startswith("CDATA["):
+            text = data[len("CDATA["):]
+            if not text:
+                return
+            cur = self._cur()
+            kids = cur.children
+            if kids and kids[-1].type == TEXT:
+                kids[-1].data += text
+            else:
+                t = Text(text)
+                t.parent = cur
+                kids.append(t)
 
 
 class Document:

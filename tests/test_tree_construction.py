@@ -222,3 +222,103 @@ def test_mathml_in_tag_soup_roundtrips():
     twice = parse(once).body.inner_html()
     thrice = parse(twice).body.inner_html()
     assert twice == thrice
+
+
+# --- round 3: templates, frameset, more foreign content -------------------
+# Cases follow the html5lib-tests tree-construction suites (tests18/tests6/
+# webkit01 shapes) as x/net/html serializes them.
+
+def doc_of(src: str) -> str:
+    return parse(src).html.inner_html()
+
+
+TEMPLATE_CASES = [
+    # template contents host table-structure tags without a table
+    ("<template><tr><td>c</td></tr></template>",
+     "<template><tr><td>c</td></tr></template>"),
+    # td implies a tr but no tbody (clear-back stops at the template)
+    ("<template><td>c</td></template>", "<template><tr><td>c</td></tr></template>"),
+    ("<template><col></template>", "<template><col/></template>"),
+    # nested templates keep nesting
+    ("<template><template><p>n</p></template></template>",
+     "<template><template><p>n</p></template></template>"),
+    # a template inside a table keeps its contents out of the table flow
+    ("<table><template><tr><td>c</td></tr></template></table>",
+     "<table><template><tr><td>c</td></tr></template></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", TEMPLATE_CASES)
+def test_template_contents(src, want):
+    assert body_of(src) == want
+
+
+FRAMESET_CASES = [
+    # a root frameset replaces the body; frames nest; frame is non-void
+    ("<html><frameset><frame src='a'><frameset><frame></frameset></frameset>",
+     '<head></head><frameset><frame src="a"></frame>'
+     "<frameset><frame></frame></frameset></frameset>"),
+    # after-frameset: everything but noframes is ignored
+    ("<html><frameset></frameset><p>after</p>",
+     "<head></head><frameset></frameset>"),
+    ("<html><frameset></frameset><noframes>nf <b>raw</b></noframes>",
+     "<head></head><frameset></frameset><noframes>nf <b>raw</b></noframes>"),
+    # frameset-ok false once the body has content: frameset ignored
+    ("<html><body><p>x</p><frameset><frame></frameset>",
+     "<head></head><body><p>x</p></body>"),
+    # whitespace doesn't flip frameset-ok
+    ("<html><body>  <frameset></frameset>",
+     "<head></head><frameset></frameset>"),
+]
+
+
+@pytest.mark.parametrize("src,want", FRAMESET_CASES)
+def test_frameset_modes(src, want):
+    assert doc_of(src) == want
+
+
+def test_noframes_is_rawtext():
+    assert body_of("<noframes><p>x</p></noframes>") == \
+        "<noframes><p>x</p></noframes>"
+    d = parse("<html><body><noframes><p>x</p></noframes></body></html>")
+    nf = next(e for e in d.body.descendants() if e.tag == "noframes")
+    assert not nf.element_children()  # content is TEXT, not elements
+
+
+def test_cdata_is_text_in_foreign_content_only():
+    # x/net/html tokenizer: CDATA sections are text inside svg/math
+    assert body_of("<svg><![CDATA[raw <b> text]]></svg>") == \
+        "<svg>raw &lt;b&gt; text</svg>"
+    assert body_of("<math><mtext><![CDATA[a&b]]></mtext></math>") == \
+        "<math><mtext>a&amp;b</mtext></math>"
+    # in HTML content it is a bogus comment: dropped by our serializer
+    assert body_of("<p><![CDATA[x]]></p>") == "<p></p>"
+
+
+SELECT_CASES = [
+    ("<select><option>a<option>b</select>",
+     "<select><option>a</option><option>b</option></select>"),
+    # option start does NOT close an open optgroup
+    ("<select><optgroup><option>a</optgroup><option>b</select>",
+     "<select><optgroup><option>a</option></optgroup>"
+     "<option>b</option></select>"),
+    # a new optgroup closes option AND optgroup
+    ("<select><optgroup><option>a<optgroup><option>b</select>",
+     "<select><optgroup><option>a</option></optgroup>"
+     "<optgroup><option>b</option></optgroup></select>"),
+    # in-select: unknown start tags are ignored, text flows through
+    ("<select><div>x</div></select>", "<select>x</select>"),
+    # input/keygen/textarea close the select and reprocess
+    ("<select><input>after", "<select></select><input/>after"),
+    # a nested <select> token acts as </select>
+    ("<select><option>a<select>b",
+     "<select><option>a</option></select>b"),
+    # hr is allowed inside select (spec in-select hr)
+    ("<select><hr><option>a</select>",
+     "<select><hr/><option>a</option></select>"),
+]
+
+
+@pytest.mark.parametrize("src,want", SELECT_CASES)
+def test_in_select_rules(src, want):
+    assert body_of(src) == want
