@@ -516,10 +516,10 @@ class _TreeBuilder(HTMLParser):
     # which handle_data decodes below. Without this, markup-looking text
     # inside <title>/<textarea> is parsed as real elements (x/net/html
     # treats both as text-only).
-    # noframes is rawtext everywhere per spec (the generic raw text
-    # elements parsing algorithm; x/net/html inHeadIM noframes case)
+    # noframes/xmp/noembed/iframe are rawtext per spec (the generic raw
+    # text elements parsing algorithm; x/net/html rawTextElements)
     CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea",
-                              "noframes")
+                              "noframes", "xmp", "noembed", "iframe")
     _RCDATA_ELEMENTS = ("title", "textarea")
 
     def __init__(self, fragment: bool = False) -> None:
@@ -548,6 +548,9 @@ class _TreeBuilder(HTMLParser):
         # frameset document: body was replaced by a root <frameset>
         # (spec in-body <frameset> / in-frameset / after-frameset modes)
         self.frameset_doc = False
+        # the spec's form element pointer: a second <form> start tag is
+        # ignored while one is open (no template on the stack here)
+        self.form_ptr: Optional[Element] = None
 
     # -- helpers --
     def _cur(self) -> Element:
@@ -1019,6 +1022,23 @@ class _TreeBuilder(HTMLParser):
             else:
                 return  # parse error, ignore
 
+        # A second <form> while one is open is ignored (spec in-body form:
+        # the form element pointer; x/net/html inBodyIM Form case).
+        if tag == "form" and self.form_ptr is not None and \
+                any(e is self.form_ptr for e in self.stack):
+            return
+        # A <button> with a button in scope implies </button> first
+        # (spec in-body button start tag).
+        if tag == "button" and self._element_in_scope("button"):
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.stack[i].tag == "button":
+                    self._truncate(i)
+                    break
+        # in-column-group: <col> goes directly into an open colgroup
+        if tag == "col" and self._cur().tag == "colgroup":
+            self._cur().append(Element("col", self._plain_attrs(attrs)))
+            return
+
         # "In body" table-structure start tags with no open table are
         # parse errors and IGNORED (spec 13.2.6.4.7; x/net/html inBodyIM
         # Caption/Col/Colgroup/Frame/Tbody/Td/Tfoot/Th/Thead/Tr case).
@@ -1038,11 +1058,14 @@ class _TreeBuilder(HTMLParser):
             # phrasing elements sitting above the table machinery so the
             # row/cell goes into the table, not into a fostered element
             # (spec 13.2.6.4.9 "clear ... back to a table context").
+            # "caption" is NOT a stop tag here: a table-structure token
+            # while a caption is open ends the caption and reprocesses in
+            # the table (spec in-caption), so the clear-back pops it.
             stack = self.stack
             i = len(stack) - 1
             while stack[i].tag not in (
                     "table", "tbody", "thead", "tfoot", "tr", "td", "th",
-                    "caption", "template", "body", "html", "#fragment"):
+                    "template", "body", "html", "#fragment"):
                 i -= 1
             if i < len(stack) - 1:
                 self._truncate(i + 1)
@@ -1067,6 +1090,11 @@ class _TreeBuilder(HTMLParser):
                     self._truncate(i)
                     break
 
+        # implied colgroup for col directly inside table (spec in-table col)
+        if tag == "col" and self._cur().tag == "table":
+            cg = Element("colgroup")
+            self._cur().append(cg)
+            self._push(cg)
         # implied tbody for tr directly inside table (HTML5/x-net-html parity)
         if tag == "tr" and self._cur().tag == "table":
             tbody = Element("tbody")
@@ -1133,6 +1161,8 @@ class _TreeBuilder(HTMLParser):
             self._foster_parent(el)
         else:
             cur.append(el)
+        if tag == "form":
+            self.form_ptr = el
         if tag not in VOID_ELEMENTS:
             self._push(el, new_ns)
         if is_formatting:
@@ -1163,6 +1193,8 @@ class _TreeBuilder(HTMLParser):
         if self.frameset_doc and tag != "frameset" and (
                 self._cur().tag == "frameset" or self._cur() is self.html):
             return  # in-frameset / after-frameset: end tags ignored
+        if tag == "form":
+            self.form_ptr = None  # spec in-body </form>: clear the pointer
         if self.ns[-1]:
             # Foreign-content end tag (x/net/html parseForeignContent):
             # pop to a case-insensitive match among foreign nodes; hitting

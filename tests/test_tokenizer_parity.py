@@ -15,8 +15,13 @@ from html.parser import HTMLParser
 from defuddle_spark.dom import _fast_tokenize
 
 
+from defuddle_spark.dom import _TreeBuilder as _TB
+
+
 class Rec(HTMLParser):
-    CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea")
+    # mirror the tree builder's raw-content set so the stdlib comparison
+    # parser tokenizes noframes/xmp/noembed/iframe identically
+    CDATA_CONTENT_ELEMENTS = _TB.CDATA_CONTENT_ELEMENTS
     _RCDATA_ELEMENTS = ("title", "textarea")
 
     def __init__(self):

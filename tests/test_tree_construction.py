@@ -322,3 +322,75 @@ SELECT_CASES = [
 @pytest.mark.parametrize("src,want", SELECT_CASES)
 def test_in_select_rules(src, want):
     assert body_of(src) == want
+
+
+CLASSIC_CASES = [
+    # nested formatting through adoption + reconstruction
+    ("<b><i><u>x</b>y</u>", "<b><i><u>x</u></i></b><i><u>y</u></i>"),
+    ("<p><b>1</p><p>2</p>", "<p><b>1</b></p><p><b>2</b></p>"),
+    ("<a href=a>1<p>2</a>3</p>",
+     '<a href="a">1</a><p><a href="a">2</a>3</p>'),
+    # row-group sequencing and implied rows
+    ("<table><tbody><tfoot><thead><td>x</table>",
+     "<table><tbody></tbody><tfoot></tfoot>"
+     "<thead><tr><td>x</td></tr></thead></table>"),
+    # nested lists and dt/dd chains
+    ("<ul><li><ul><li>n</ul></li></ul>",
+     "<ul><li><ul><li>n</li></ul></li></ul>"),
+    ("<dl><dt>t<dd>d<dt>t2</dl>", "<dl><dt>t</dt><dd>d</dd><dt>t2</dt></dl>"),
+    # a table closes an open p; the stray </p> makes an empty paragraph
+    ("<p><table><tr><td>c</td></tr></table></p>",
+     "<p></p><table><tbody><tr><td>c</td></tr></tbody></table><p></p>"),
+    # marquee is a scope marker; object/param flow
+    ("<marquee><p>m</marquee></p>", "<marquee><p>m</p></marquee><p></p>"),
+    ("<object><param><p>o</object>", "<object><param/><p>o</p></object>"),
+]
+
+
+@pytest.mark.parametrize("src,want", CLASSIC_CASES)
+def test_classic_tree_construction(src, want):
+    assert body_of(src) == want
+
+
+TABLE_MODE_CASES = [
+    # a table-structure token while a caption is open ends the caption
+    ("<table><caption>c<td>x</table>",
+     "<table><caption>c</caption><tbody><tr><td>x</td></tr></tbody></table>"),
+    ("<table><caption>a<caption>b</table>",
+     "<table><caption>a</caption><caption>b</caption></table>"),
+    # col lands inside an open colgroup; a bare col implies one
+    ("<table><colgroup><col><tr><td>x</table>",
+     "<table><colgroup><col/></colgroup>"
+     "<tbody><tr><td>x</td></tr></tbody></table>"),
+    ("<table><col><col><tr><td>x</table>",
+     "<table><colgroup><col/><col/></colgroup>"
+     "<tbody><tr><td>x</td></tr></tbody></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", TABLE_MODE_CASES)
+def test_caption_and_colgroup_modes(src, want):
+    assert body_of(src) == want
+
+
+def test_nested_form_ignored():
+    # spec form element pointer: second <form> start tag is ignored
+    assert body_of("<form><input><form><input></form>") == \
+        "<form><input/><input/></form>"
+    # ...but a closed form allows a new one
+    assert body_of("<form>a</form><form>b</form>") == \
+        "<form>a</form><form>b</form>"
+
+
+def test_nested_button_closes_open_button():
+    assert body_of("<button>a<button>b</button>") == \
+        "<button>a</button><button>b</button>"
+
+
+def test_xmp_noembed_iframe_are_rawtext():
+    from defuddle_spark.dom import TEXT
+    for tag in ("xmp", "noembed", "iframe"):
+        d = parse(f"<html><body><{tag}><p>x</p></{tag}></body></html>")
+        el = next(e for e in d.body.descendants() if e.tag == tag)
+        assert [c.type for c in el.children] == [TEXT], tag
+        assert el.text() == "<p>x</p>"
