@@ -347,6 +347,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, [float(x) for x in query], k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the second ANN family of the checklist)
+    at its oracle-checkable configuration: nprobe == n_lists is exact
+    search regardless of where Lloyd put the centroids — every vector
+    lives in exactly one list — so the full IVF plumbing (train, assign,
+    probe, exact re-rank) is hash-asserted against the brute-force SQL.
+    The recall/nprobe trade-off and index partition pruning are pinned
+    by tests/test_ops.py::test_ivf_*."""
+    from defuddle_spark.ops.similarity import ivf_topk, ivf_train
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = ivf_train(emb, n_lists=8, iters=2)
+    return ivf_topk(emb, cents, [float(x) for x in query], k=10, nprobe=8)
+
+
 def _emb_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copy (element 0 shifted by +0.1, ids +10000):
     deterministic planted near-duplicates (cosine ~0.995 — the table's
@@ -534,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
@@ -1137,6 +1153,16 @@ def oracle_sql() -> dict[str, str]:
             FROM hist
         """,
         "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": """
+            -- full-probe IVF is exact search: every vector is assigned
+            -- to exactly one list and all lists are scanned
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
                        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim

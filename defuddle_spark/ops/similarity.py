@@ -296,3 +296,105 @@ def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
             .select(F.col(id_col), sim.alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
+# The second ANN family of the training-data checklist (alongside the
+# hyperplane-LSH buckets above): vectors are assigned to their nearest
+# coarse centroid ("list"); a query ranks the centroids on the driver
+# (n_lists values, trivial) and scans only the nprobe best lists. On a
+# write_ivf_index()-materialized table the list filter is a literal
+# IN-list over the partition column, so the scan prunes to the probed
+# lists' files — per-query cost ~ nprobe/n_lists of the corpus, the
+# same 100 TB shape as lsh_topk.
+
+
+def _nearest_list_col(emb_col: str, centroids: List[List[float]]) -> F.Column:
+    """Argmax inner product against the centroid table — pure codegen
+    (ties break to the lowest list id via array_position semantics)."""
+    cent = F.array(*[F.array(*[F.lit(float(v)) for v in c])
+                     for c in centroids])
+    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    dots = F.transform(
+        cent, lambda c: F.aggregate(F.zip_with(emb, c, lambda a, b: a * b),
+                                    F.lit(0.0), lambda acc, x: acc + x))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_train(embeddings: DataFrame, n_lists: int = 16,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              iters: int = 2) -> List[List[float]]:
+    """Train IVF coarse centroids with Lloyd iterations on the cluster.
+
+    Seeding is deterministic (the ``n_lists`` vectors with the smallest
+    xxhash64(id) — a pseudo-random but reproducible sample); each Lloyd
+    step is one assignment projection + one (list, dim)-grouped mean, so
+    the per-iteration collect is n_lists x dim scalars regardless of
+    corpus size. Exact centroid bits can wiggle across cluster layouts
+    (float mean reduction order); consumers must not hash centroids —
+    ivf_topk's results are exact re-rankings, and full-probe results are
+    layout-independent.
+    """
+    seeds = (embeddings
+             .select(id_col, emb_col,
+                     F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+             .orderBy("_h", id_col)
+             .limit(n_lists)
+             .collect())
+    cents = [[float(x) for x in r[emb_col]] for r in seeds]
+    if not cents:
+        raise ValueError("ivf_train: empty corpus")
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = embeddings.select(
+            _nearest_list_col(emb_col, cents).alias("list_id"),
+            F.posexplode(F.transform(F.col(emb_col),
+                                     lambda x: x.cast("double")))
+            .alias("pos", "v"))
+        rows = (assigned.groupBy("list_id", "pos")
+                .agg(F.avg("v").alias("m")).collect())
+        by: dict = {}
+        for r in rows:
+            by.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        cents = [[by[l][p] for p in range(dim)] if l in by else cents[l]
+                 for l in range(len(cents))]
+    return cents
+
+
+def ivf_index(embeddings: DataFrame, centroids: List[List[float]],
+              emb_col: str = "embedding") -> DataFrame:
+    """Attach the materializable coarse-list column ``list_id``."""
+    return embeddings.withColumn(
+        "list_id", _nearest_list_col(emb_col, centroids))
+
+
+def write_ivf_index(index: DataFrame, path: str) -> None:
+    """Persist an ivf_index() frame partitioned by list — queries then
+    prune to the probed lists at the scan (PartitionFilters IN-list)."""
+    index.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk(embeddings: DataFrame, centroids: List[List[float]],
+             query: Sequence[float], k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             round_digits: int = 4) -> DataFrame:
+    """Approximate top-k: scan the ``nprobe`` lists whose centroids best
+    match the query, exactly re-rank the candidates.
+
+    nprobe == n_lists degrades to exact search (every vector lives in
+    exactly one list), which is the oracle-checkable configuration; the
+    recall/nprobe trade-off is pinned by unit test. If ``embeddings``
+    already carries ``list_id`` (an index read back from
+    write_ivf_index) no assignment math runs at query time.
+    """
+    qd = [(sum(float(a) * float(b) for a, b in zip(query, c)), -i)
+          for i, c in enumerate(centroids)]
+    probe = [-i for _, i in sorted(qd, reverse=True)[:nprobe]]
+    if "list_id" not in embeddings.columns:
+        embeddings = ivf_index(embeddings, centroids, emb_col)
+    cand = embeddings.filter(F.col("list_id").isin([int(p) for p in probe]))
+    sim = F.round(cosine_similarity_col(emb_col, query), round_digits)
+    return (cand
+            .select(F.col(id_col), sim.alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.col(id_col))
+            .limit(k))

@@ -327,3 +327,65 @@ def test_cosine_neardup_string_ids(spark):
              for r in cosine_neardup_pairs(emb, threshold=0.9).collect()}
     assert set(pairs) == {("doc-a", "doc-b")}
     assert pairs[("doc-a", "doc-b")] == 1.0
+
+
+def test_ivf_fullprobe_equals_exact(spark):
+    """nprobe == n_lists is exact search: every vector lives in exactly
+    one list, so the probed union is the whole corpus."""
+    import numpy as np
+    from defuddle_spark.ops.similarity import (
+        cosine_topk, ivf_index, ivf_topk, ivf_train)
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(emb, n_lists=8, iters=2)
+    assert len(cents) == 8 and len(cents[0]) == 8
+    q = rng.randn(8).tolist()
+    exact = [(r["vec_id"], r["cos_sim"]) for r in cosine_topk(emb, q, k=10).collect()]
+    full = [(r["vec_id"], r["cos_sim"]) for r in
+            ivf_topk(emb, cents, q, k=10, nprobe=8).collect()]
+    assert full == exact
+    # single assignment: list sizes sum to the corpus
+    sizes = ivf_index(emb, cents).groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in sizes) == 300
+    assert all(0 <= r["list_id"] < 8 for r in sizes)
+
+
+def test_ivf_probe_recall(spark):
+    """At nprobe < n_lists the probed lists still recall most of the
+    exact top-k (clustered corpus: near neighbors share a list)."""
+    import numpy as np
+    from defuddle_spark.ops.similarity import cosine_topk, ivf_topk, ivf_train
+    rng = np.random.RandomState(11)
+    # 6 well-separated clusters of 50
+    centers = rng.randn(6, 16) * 4
+    rows = []
+    for i in range(300):
+        v = centers[i % 6] + rng.randn(16) * 0.3
+        rows.append((i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(emb, n_lists=6, iters=3)
+    q = (centers[2] + rng.randn(16) * 0.3).tolist()
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(emb, cents, q, k=10, nprobe=2).collect()}
+    assert len(exact & approx) >= 8  # >=80% recall on a clustered corpus
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """ivf_topk over a written ivf_index prunes at the scan, like the
+    LSH index: PartitionFilters carry the list_id IN-list."""
+    import numpy as np
+    from defuddle_spark.ops.similarity import (
+        ivf_index, ivf_topk, ivf_train, write_ivf_index)
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(8).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(emb, n_lists=8, iters=1)
+    path = str(tmp_path / "ivfidx")
+    write_ivf_index(ivf_index(emb, cents), path)
+
+    idx = spark.read.parquet(path)
+    q = ivf_topk(idx, cents, rng.randn(8).tolist(), k=5, nprobe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert q.count() <= 5
