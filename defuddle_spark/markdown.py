@@ -298,6 +298,12 @@ def _inline_text_of_node(node: Element, depth: int) -> str:
         fake.children = []
 
 
+_LI_BLOCK_TAGS = frozenset({
+    "p", "blockquote", "pre", "table", "hr", "div", "section", "article",
+    "figure", "details", "h1", "h2", "h3", "h4", "h5", "h6",
+})
+
+
 def _render_list(lst: Element, depth: int, indent: str) -> str:
     ordered = lst.tag == "ol"
     lines: List[str] = []
@@ -310,22 +316,56 @@ def _render_list(lst: Element, depth: int, indent: str) -> str:
             continue
         idx += 1
         marker = f"{idx}. " if ordered else "- "
-        nested: List[str] = []
+        # Item content is a sequence of blocks: the first renders on the
+        # marker line; later non-list blocks become blank-line-separated
+        # continuation blocks indented 4 spaces (CommonMark list-item
+        # continuation); nested lists attach tight (no blank line).
+        blocks: List[tuple] = []  # (kind, text) with kind in inline|list
         inline_parts: List[str] = []
+
+        def _flush() -> None:
+            text = "".join(inline_parts).strip()
+            inline_parts.clear()
+            if text:
+                blocks.append(("inline", text))
+
         for c in li.children:
             if c.type == ELEMENT and c.tag in ("ul", "ol"):
-                nested.append(_render_list(c, depth + 1, indent + "    "))
+                _flush()
+                sub = _render_list(c, depth + 1, indent + "    ")
+                if sub:
+                    blocks.append(("list", sub))
             elif c.type == ELEMENT and c.tag == "p":
-                inline_parts.append(_inline_text(c, depth + 1))
-                inline_parts.append(" ")
+                _flush()
+                text = _inline_text(c, depth + 1).strip()
+                if text:
+                    blocks.append(("inline", text))
+            elif c.type == ELEMENT and c.tag in _LI_BLOCK_TAGS:
+                _flush()
+                holder = Element("div")
+                holder.children = [c]
+                sub_blocks: List[str] = []
+                try:
+                    _render_blocks(holder, depth + 1, sub_blocks)
+                finally:
+                    holder.children = []
+                blocks.extend(("inline", b) for b in sub_blocks if b)
             elif c.type == TEXT:
                 inline_parts.append(_escape_chars(_WS_RE.sub(" ", c.data)))
             elif c.type == ELEMENT:
                 inline_parts.append(_inline_text_of_node(c, depth + 1))
-        text = "".join(inline_parts).strip()
-        lines.append(indent + marker + text)
-        for n in nested:
-            lines.append(n)
+        _flush()
+
+        first = blocks[0][1] if blocks and blocks[0][0] == "inline" else ""
+        rest = blocks[1:] if first else blocks
+        lines.append(indent + marker + first)
+        cont = indent + "    "
+        for kind, body in rest:
+            if kind == "list":
+                lines.append(body)
+            else:
+                lines.append("")
+                lines.extend(cont + ln if ln else "" for ln in body.splitlines())
     return "\n".join(lines)
 
 

@@ -151,3 +151,16 @@ def test_no_escaping_inside_code():
     assert "*raw* _x_ [y] # z" in got
     got2 = convert_html("<p><code>*raw*</code></p>")
     assert got2 == "`*raw*`"
+
+
+def test_multi_block_list_items():
+    # CommonMark continuation: later blocks indent 4 under the item
+    assert convert_html("<ul><li><p>a1</p><p>a2</p></li><li>b</li></ul>") == \
+        "- a1\n\n    a2\n- b"
+    assert convert_html("<ul><li>a<blockquote>q</blockquote></li></ul>") == \
+        "- a\n\n    > q"
+    assert convert_html("<ol><li>x<pre><code>c()</code></pre></li></ol>") == \
+        "1. x\n\n    ```\n    c()\n    ```"
+    # nested lists stay tight (no blank line)
+    assert convert_html("<ul><li>a<ul><li>n</li></ul></li><li>b</li></ul>") == \
+        "- a\n    - n\n- b"
