@@ -18,8 +18,8 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import (BinaryType, StringType, StructField,
-                               StructType, TimestampType)
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+                               StructField, StructType, TimestampType)
 
 from .pipeline import extract_pages
 
@@ -51,6 +51,81 @@ def extract_pages_stream(spark: SparkSession, input_dir: str, output_dir: str,
 
     writer = (result.writeStream
               .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def windowed_counts_stream(spark: SparkSession, input_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           watermark: str = "10 minutes",
+                           window: str = "1 hour",
+                           available_now: bool = True):
+    """Watermarked tumbling-window event stats on a stream — the
+    streaming twin of ops.events.windowed_counts.
+
+    Late data within ``watermark`` folds into its window; in append mode
+    a window emits once the watermark passes its end, so with
+    availableNow the trailing window(s) stay pending until later input
+    advances the watermark (standard Structured Streaming semantics —
+    the test plants a flush event past the horizon).
+    n_users is approx_count_distinct: exact distinct aggregation is not
+    available in streaming aggregations.
+    """
+    from pyspark.sql import functions as F
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.avg(F.col("value").cast("double")), 6)
+                 .alias("avg_value"),
+                F.approx_count_distinct("user_id").alias("n_users_approx"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "avg_value", "n_users_approx"))
+    writer = (agg.writeStream.format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                      checkpoint_dir: str, gap_minutes: int = 30,
+                      watermark: str = "10 minutes",
+                      available_now: bool = True):
+    """Per-user session windows on a stream via the built-in
+    ``session_window`` (gap-merged state windows) — the streaming twin
+    of ops.events.sessionize. A session emits once the watermark passes
+    its close (last event + gap)."""
+    from pyspark.sql import functions as F
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy("user_id",
+                    F.session_window("ts", f"{gap_minutes} minutes")
+                     .alias("sw"))
+           .agg(F.count("*").alias("session_events"))
+           .select("user_id", F.col("sw.start").alias("session_start"),
+                   "session_events"))
+    writer = (agg.writeStream.format("parquet")
               .option("path", output_dir)
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("append"))

@@ -27,3 +27,65 @@ def test_streaming_extraction_drains_and_checkpoints(spark, tmp_path):
     q2 = extract_pages_stream(spark, in_dir, out_dir, ckpt, available_now=True)
     q2.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == 120
+
+
+def _events_with_flush(spark, n=2000):
+    """Events subset + one flush event far past the horizon so the
+    watermark closes every real window during the availableNow drain
+    (the no-data micro-batch then emits the finalized state)."""
+    from defuddle_spark.spark.streaming import EVENTS_SCHEMA
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .orderBy("event_id").limit(n))
+    import datetime
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    flush = spark.createDataFrame(
+        [(10**9, max_ts + datetime.timedelta(days=30), -1, "__flush__",
+          0.0, "{}")], EVENTS_SCHEMA)
+    return ev, ev.unionByName(flush)
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    from defuddle_spark.spark.streaming import windowed_counts_stream
+    ev, with_flush = _events_with_flush(spark)
+    in_dir = str(tmp_path / "ev")
+    with_flush.write.parquet(in_dir)
+
+    q = windowed_counts_stream(spark, in_dir, str(tmp_path / "out"),
+                               str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    out = (spark.read.parquet(str(tmp_path / "out"))
+           .filter(F.col("event_type") != "__flush__"))
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.avg("value"), 6).alias("avg_value"),
+                  F.approx_count_distinct("user_id").alias("n_users_approx"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "avg_value", "n_users_approx"))
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert len(want) > 10
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    from defuddle_spark.spark.streaming import sessionize_stream
+    ev, with_flush = _events_with_flush(spark)
+    in_dir = str(tmp_path / "ev")
+    with_flush.write.parquet(in_dir)
+
+    q = sessionize_stream(spark, in_dir, str(tmp_path / "out"),
+                          str(tmp_path / "ckpt"), gap_minutes=30)
+    q.awaitTermination(300)
+
+    out = (spark.read.parquet(str(tmp_path / "out"))
+           .filter(F.col("user_id") >= 0))
+    batch = (ev.groupBy("user_id",
+                        F.session_window("ts", "30 minutes").alias("sw"))
+             .agg(F.count("*").alias("session_events"))
+             .select("user_id", F.col("sw.start").alias("session_start"),
+                     "session_events"))
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert len(want) > 10
+    assert got == want
