@@ -335,30 +335,40 @@ def ivf_train(embeddings: DataFrame, n_lists: int = 16,
     ivf_topk's results are exact re-rankings, and full-probe results are
     layout-independent.
     """
-    seeds = (embeddings
-             .select(id_col, emb_col,
-                     F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
-             .orderBy("_h", id_col)
-             .limit(n_lists)
-             .collect())
-    cents = [[float(x) for x in r[emb_col]] for r in seeds]
-    if not cents:
-        raise ValueError("ivf_train: empty corpus")
-    dim = len(cents[0])
-    for _ in range(iters):
-        assigned = embeddings.select(
-            _nearest_list_col(emb_col, cents).alias("list_id"),
-            F.posexplode(F.transform(F.col(emb_col),
-                                     lambda x: x.cast("double")))
-            .alias("pos", "v"))
-        rows = (assigned.groupBy("list_id", "pos")
-                .agg(F.avg("v").alias("m")).collect())
-        by: dict = {}
-        for r in rows:
-            by.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
-        cents = [[by[l][p] for p in range(dim)] if l in by else cents[l]
-                 for l in range(len(cents))]
-    return cents
+    # The assignment expression is interpreted (nested higher-order
+    # functions never enter whole-stage codegen), so a narrow input —
+    # a single parquet file scans as ONE partition — would run each
+    # Lloyd pass single-threaded. Spread and pin the working set once
+    # for the whole training loop.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    work = embeddings.select(id_col, emb_col).repartition(par).persist()
+    try:
+        seeds = (work
+                 .select(id_col, emb_col,
+                         F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+                 .orderBy("_h", id_col)
+                 .limit(n_lists)
+                 .collect())
+        cents = [[float(x) for x in r[emb_col]] for r in seeds]
+        if not cents:
+            raise ValueError("ivf_train: empty corpus")
+        dim = len(cents[0])
+        for _ in range(iters):
+            assigned = work.select(
+                _nearest_list_col(emb_col, cents).alias("list_id"),
+                F.posexplode(F.transform(F.col(emb_col),
+                                         lambda x: x.cast("double")))
+                .alias("pos", "v"))
+            rows = (assigned.groupBy("list_id", "pos")
+                    .agg(F.avg("v").alias("m")).collect())
+            by: dict = {}
+            for r in rows:
+                by.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+            cents = [[by[l][p] for p in range(dim)] if l in by else cents[l]
+                     for l in range(len(cents))]
+        return cents
+    finally:
+        work.unpersist()
 
 
 def ivf_index(embeddings: DataFrame, centroids: List[List[float]],
