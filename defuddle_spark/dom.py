@@ -1061,11 +1061,22 @@ class _TreeBuilder(HTMLParser):
             # "caption" is NOT a stop tag here: a table-structure token
             # while a caption is open ends the caption and reprocesses in
             # the table (spec in-caption), so the clear-back pops it.
+            # The stop set depends on the token's level (spec in-cell /
+            # in-row / in-table-body reprocessing chains): caption/col/
+            # colgroup belong directly to the table, so they pop open
+            # cells, rows AND row groups; tbody/tfoot/thead pop cells and
+            # rows; td/th/tr stop at their own context.
+            if tag in ("caption", "col", "colgroup"):
+                stop = ("table", "template", "body", "html", "#fragment")
+            elif tag in ("tbody", "tfoot", "thead"):
+                stop = ("table", "tbody", "thead", "tfoot", "template",
+                        "body", "html", "#fragment")
+            else:
+                stop = ("table", "tbody", "thead", "tfoot", "tr", "td",
+                        "th", "template", "body", "html", "#fragment")
             stack = self.stack
             i = len(stack) - 1
-            while stack[i].tag not in (
-                    "table", "tbody", "thead", "tfoot", "tr", "td", "th",
-                    "template", "body", "html", "#fragment"):
+            while stack[i].tag not in stop:
                 i -= 1
             if i < len(stack) - 1:
                 self._truncate(i + 1)

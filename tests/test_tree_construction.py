@@ -394,3 +394,22 @@ def test_xmp_noembed_iframe_are_rawtext():
         el = next(e for e in d.body.descendants() if e.tag == tag)
         assert [c.type for c in el.children] == [TEXT], tag
         assert el.text() == "<p>x</p>"
+
+
+IN_CELL_REPROCESS_CASES = [
+    # caption/col/colgroup pop open cells, rows AND row groups
+    ("<table><tr><td>a<caption>c</caption></table>",
+     "<table><tbody><tr><td>a</td></tr></tbody><caption>c</caption></table>"),
+    ("<table><tr><td>a<col></table>",
+     "<table><tbody><tr><td>a</td></tr></tbody>"
+     "<colgroup><col/></colgroup></table>"),
+    # a row-group token pops cells and rows, landing beside the open group
+    ("<table><tr><td>a<tbody><tr><td>b</table>",
+     "<table><tbody><tr><td>a</td></tr></tbody>"
+     "<tbody><tr><td>b</td></tr></tbody></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", IN_CELL_REPROCESS_CASES)
+def test_in_cell_table_token_reprocessing(src, want):
+    assert body_of(src) == want
