@@ -69,6 +69,7 @@ def main() -> None:
         return round(best, 3)
 
     timings: dict = {}
+    load_start = round(os.getloadavg()[0], 2)
     t0 = time.monotonic()
 
     # Headline: the replicated extraction corpus (160k pages at sf0.1) —
@@ -106,6 +107,12 @@ def main() -> None:
         "pages": n_pages,
         "cpus": cpus,
         "extraction_docs_per_sec": docs_per_sec,
+        # External neighbor load swings this box by 2x+ (measured across
+        # four round-3 runs: 16.1k/11.5k/19.7k/12.0k extraction docs/s);
+        # the 1-minute load average before/after contextualizes a noisy
+        # number. Our own Spark work contributes to load_avg_end.
+        "load_avg_start": load_start,
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }))
     spark.stop()
 
