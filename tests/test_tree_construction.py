@@ -413,3 +413,31 @@ IN_CELL_REPROCESS_CASES = [
 @pytest.mark.parametrize("src,want", IN_CELL_REPROCESS_CASES)
 def test_in_cell_table_token_reprocessing(src, want):
     assert body_of(src) == want
+
+
+STABILITY_PINS = [
+    # formatting bounded by cells; AFE across tables; scope markers
+    ("<table><tr><td><b>x</td><td>y</td></tr></table>",
+     "<table><tbody><tr><td><b>x</b></td><td>y</td></tr></tbody></table>"),
+    ("<b><table><td>x</td></table></b>c",
+     "<b><table><tbody><tr><td>x</td></tr></tbody></table></b>c"),
+    ("<b><applet><i>x</applet>y", "<b><applet><i>x</i></applet>y</b>"),
+    ("<nobr>a<nobr>b", "<nobr>a</nobr><nobr>b</nobr>"),
+    # select-family elements are ordinary in body
+    ("<optgroup><option>a</optgroup>",
+     "<optgroup><option>a</option></optgroup>"),
+    ("<option>a<option>b", "<option>a</option><option>b</option>"),
+    # table structure odds and ends
+    ("<table><tbody></table>", "<table><tbody></tbody></table>"),
+    ("<table><tr><th>h<td>d</table>",
+     "<table><tbody><tr><th>h</th><td>d</td></tr></tbody></table>"),
+    ("<dl><dd>d1<dl><dd>d2</dl></dd></dl>",
+     "<dl><dd>d1<dl><dd>d2</dd></dl></dd></dl>"),
+    ("<ul><li>a<hr>b</li></ul>", "<ul><li>a<hr/>b</li></ul>"),
+    ("<ruby>a<rt>b</rt></ruby>", "<ruby>a<rt>b</rt></ruby>"),
+]
+
+
+@pytest.mark.parametrize("src,want", STABILITY_PINS)
+def test_stability_pins(src, want):
+    assert body_of(src) == want
