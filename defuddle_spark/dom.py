@@ -1015,12 +1015,19 @@ class _TreeBuilder(HTMLParser):
                     self._truncate(len(self.stack) - 1)
                 if self._cur().tag == "optgroup":
                     self._truncate(len(self.stack) - 1)
-            elif tag in ("script", "template", "caption", "table", "tbody",
-                         "tfoot", "thead", "tr", "td", "th", "col",
-                         "colgroup"):
-                pass  # table tokens: in-select-in-table handling below
+            elif tag in ("script", "template"):
+                pass  # allowed inside a select (spec in-select)
+            elif tag in ("caption", "table", "tbody", "tfoot", "thead",
+                         "tr", "td", "th"):
+                # in-select-IN-TABLE only applies when the select was
+                # opened inside a table (x/net/html inSelectInTableIM);
+                # with no open table these are in-select "anything else"
+                # and are ignored (`<select><table>` must NOT nest a
+                # table inside the select).
+                if not any(e.tag == "table" for e in self.stack):
+                    return
             else:
-                return  # parse error, ignore
+                return  # parse error, ignore (includes col/colgroup)
 
         # A second <form> while one is open is ignored (spec in-body form:
         # the form element pointer; x/net/html inBodyIM Form case).

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import re
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from typing import Any, List, Optional
 
 from . import constants, metadata, schema_org, scoring
@@ -568,7 +568,14 @@ def extract_document(html_str: str, url: str = "",
     """
     if options is None:
         options = Options()
-    options.url = url or options.url
+    # Never mutate the caller's Options: the Arrow-batch path reuses one
+    # instance across a whole batch, and a field write here would leak the
+    # previous row's url into a row whose own url is empty (wrong
+    # domain/favicon/extractor routing). Build a per-call copy instead;
+    # an empty url keeps the caller's configured options.url, matching the
+    # reference's `url or options.url` fallback for the single-doc API.
+    if url and url != options.url:
+        options = _dc_replace(options, url=url)
     try:
         doc0 = parse(html_str)
         schema_items = schema_org.extract_schema_org(doc0.html)

@@ -310,15 +310,22 @@ def lsh_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
 
 
 def _nearest_list_col(emb_col: str, centroids: List[List[float]]) -> F.Column:
-    """Argmax inner product against the centroid table — pure codegen
-    (ties break to the lowest list id via array_position semantics)."""
+    """Argmin squared L2 distance against the centroid table — pure
+    codegen (ties break to the lowest list id via array_position).
+
+    L2 is the metric consistent with Lloyd's coordinate-mean update step
+    (the mean minimizes summed squared L2, so assignment+update share one
+    convergence objective). The previous inner-product assignment let
+    large-norm centroids capture disproportionate lists on unnormalized
+    embeddings (ADVICE r3)."""
     cent = F.array(*[F.array(*[F.lit(float(v)) for v in c])
                      for c in centroids])
     emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    dots = F.transform(
-        cent, lambda c: F.aggregate(F.zip_with(emb, c, lambda a, b: a * b),
-                                    F.lit(0.0), lambda acc, x: acc + x))
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    d2 = F.transform(
+        cent, lambda c: F.aggregate(
+            F.zip_with(emb, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
 
 
 def ivf_train(embeddings: DataFrame, n_lists: int = 16,
@@ -397,9 +404,12 @@ def ivf_topk(embeddings: DataFrame, centroids: List[List[float]],
     already carries ``list_id`` (an index read back from
     write_ivf_index) no assignment math runs at query time.
     """
-    qd = [(sum(float(a) * float(b) for a, b in zip(query, c)), -i)
+    # Probe by the SAME metric assignment uses (squared L2): the lists a
+    # near-neighbor can live in are the lists whose centroids are L2-close
+    # to the query.
+    qd = [(sum((float(a) - float(b)) ** 2 for a, b in zip(query, c)), i)
           for i, c in enumerate(centroids)]
-    probe = [-i for _, i in sorted(qd, reverse=True)[:nprobe]]
+    probe = [i for _, i in sorted(qd)[:nprobe]]
     if "list_id" not in embeddings.columns:
         embeddings = ivf_index(embeddings, centroids, emb_col)
     cand = embeddings.filter(F.col("list_id").isin([int(p) for p in probe]))

@@ -543,3 +543,22 @@ def test_selector_group_routing_matches_bruteforce():
         for el in doc.html.descendants():
             brute = any(c.match(el) for c in compiled)
             assert group.matches(el) == brute, (el.tag, el.attrs)
+
+
+def test_shared_options_url_never_leaks_across_documents():
+    # ADVICE r3 (medium): the Arrow-batch path reuses ONE Options instance
+    # across a whole batch. A doc with an empty url must not inherit the
+    # previous doc's url (domain/favicon/routing), and the shared Options
+    # must come out of extract_document unmutated.
+    html = "<html><head><title>T</title></head><body><p>some words here for content</p></body></html>"
+    opts = Options()
+    r1 = extract_document(html, url="https://example.com/a", options=opts)
+    assert r1.domain == "example.com"
+    assert opts.url == ""  # shared instance untouched
+    r2 = extract_document(html, url="", options=opts)
+    assert r2.domain == ""  # no leak from r1
+    assert "example.com" not in r2.favicon  # relative default, not r1's host
+    # explicit caller-configured url still honoured when the per-doc url is empty
+    opts2 = Options(url="https://configured.example.org/x")
+    r3 = extract_document(html, url="", options=opts2)
+    assert r3.domain == "configured.example.org"

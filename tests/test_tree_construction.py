@@ -316,6 +316,20 @@ SELECT_CASES = [
     # hr is allowed inside select (spec in-select hr)
     ("<select><hr><option>a</select>",
      "<select><hr/><option>a</option></select>"),
+    # table tokens with NO open table are in-select "anything else":
+    # ignored, never nested inside the select (ADVICE r3)
+    ("<select><table><tr><td>x</td></tr></table></select>",
+     "<select>x</select>"),
+    ("<select><td>x</select>", "<select>x</select>"),
+    ("<select><colgroup><col>x</select>", "<select>x</select>"),
+    # with an open table, in-select-in-table pops the select and
+    # reprocesses the token (x/net/html inSelectInTableIM)
+    ("<table><tr><td><select><caption>",
+     "<table><tbody><tr><td><select></select></td></tr></tbody>"
+     "<caption></caption></table>"),
+    ("<table><tr><td><select>a<tr><td>b",
+     "<table><tbody><tr><td><select>a</select></td></tr>"
+     "<tr><td>b</td></tr></tbody></table>"),
 ]
 
 
