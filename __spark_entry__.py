@@ -25,6 +25,12 @@ _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _WC = f"CAST(len({_TOKENS}) AS INTEGER)"
 _URL = "'https://docs.example.test/' || lang || '/' || source || '/' || doc_id || '-r0'"
 _TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
+_DID = "CAST(doc_id AS VARCHAR)"
+_NN = "chr(10) || chr(10)"
+# family-7 mid-literal: hr, backslash hard break, image open (precomputed:
+# f-string expressions cannot contain backslashes)
+_MD7_MID = ("\n\n---\n\nline one \\" + chr(10)
+            + " line two\n\n![Figure ")
 # SQL literal of ops.textstats.BPE_TOKEN_RE (apostrophes doubled)
 from defuddle_spark.ops.textstats import BPE_TOKEN_RE as _BPE_RE
 _BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
@@ -184,6 +190,20 @@ def q_extract_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
         j("$.statistics.linkCount").cast("int").alias("link_count"),
         j("$.processingSteps[*].step").alias("steps"),
         j("$.extractorUsed").alias("extractor_used"))
+
+
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 markdown through the driver gate (internal/markdown/convert.go:
+    13-23): eight construct families (doc_id % 8 — headings, emphasis,
+    ul, ol, link-with-title, code span + fence, blockquote, hr/br/image)
+    whose converted markdown is a fixed shape around the document text,
+    hash-asserted byte-identically against DuckDB string construction."""
+    from defuddle_spark.spark.pages import synthesize_markdown_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = synthesize_markdown_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False,
+                        kernel_options={"markdown": True})
+    return out.select("url", "content_markdown", "word_count")
 
 
 def q_extract_hackernews(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_retry": q_extract_retry,
         "extract_giant": q_extract_giant,
         "extract_debug": q_extract_debug,
+        "extract_markdown": q_extract_markdown,
         "extract_hackernews": q_extract_hackernews,
         "extract_github": q_extract_github,
         "extract_youtube": q_extract_youtube,
@@ -725,6 +746,41 @@ def oracle_sql() -> dict[str, str]:
                    0 AS link_count,
                    '["schema_org_extraction","standard_parsing"]' AS steps,
                    CAST(NULL AS VARCHAR) AS extractor_used
+            FROM documents
+        """,
+        "extract_markdown": f"""
+            -- K1: expected content_markdown per construct family
+            -- (doc_id % 8), byte-identical to the converter's output on
+            -- the standardized content. word_count adds the per-family
+            -- fixed construct-word overhead (block texts concatenate
+            -- without separators, so boundary words merge — a structural
+            -- constant per family).
+            SELECT 'https://md.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   CASE doc_id % 8
+                     WHEN 0 THEN '## Section ' || {_DID} || {_NN} || text
+                         || {_sql_str(chr(10) * 2 + "### Detail ")} || {_DID}
+                         || {_sql_str(chr(10) * 2 + "closing words here")}
+                     WHEN 1 THEN {_sql_str("plain *soft* and **hard** and ***both*** words" + chr(10) * 2)} || text
+                     WHEN 2 THEN '- alpha' || {_sql_str(chr(10) + "- beta ")} || {_DID}
+                         || {_sql_str(chr(10) + "- gamma" + chr(10) * 2)} || text
+                     WHEN 3 THEN '1. first' || {_sql_str(chr(10) + "2. second ")} || {_DID}
+                         || {_NN} || text
+                     WHEN 4 THEN 'see [the doc](https://example.test/p/' || {_DID}
+                         || ' "Doc ' || {_DID} || '") here' || {_NN} || text
+                     WHEN 5 THEN 'inline `x = ' || {_DID} || '` call' || {_NN}
+                         || {_sql_str("```python" + chr(10) + "print(")} || {_DID}
+                         || {_sql_str(")" + chr(10) + "```" + chr(10) * 2)} || text
+                     WHEN 6 THEN '> quoted ' || {_DID} || ' words' || {_NN} || text
+                     ELSE 'before ' || {_DID}
+                         || {_sql_str(_MD7_MID)}
+                         || {_DID} || '](https://img.example.test/' || {_DID}
+                         || '.png)' || {_NN} || text
+                   END AS content_markdown,
+                   CAST(len({_TOKENS}) + CASE doc_id % 8
+                     WHEN 0 THEN 4 WHEN 1 THEN 6 WHEN 2 THEN 1 WHEN 3 THEN 1
+                     WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 2 ELSE 4
+                   END AS INTEGER) AS word_count
             FROM documents
         """,
         "extract_hackernews": f"""

@@ -624,3 +624,72 @@ def synthesize_hn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("doc_id"),
     )
+
+
+def synthesize_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose extracted content's MARKDOWN is SQL-predictable (K1,
+    /root/reference/internal/markdown/convert.go:13-23, convert_test.go).
+
+    Eight construct families keyed by doc_id % 8 — headings, emphasis
+    (incl. *** nesting), unordered list, ordered list, link-with-title,
+    inline code + fenced code, blockquote, and hr/hard-break/image —
+    each an <article> whose h1 is dropped by the title-match rule and
+    whose remaining constructs convert to a fixed markdown shape around
+    the document's text. Construct words are fixed strings (plus doc_id
+    interpolations), so the DuckDB oracle rebuilds content_markdown
+    byte-identically per row. Note ``<ol start=>`` is used in family 3
+    but the EXPECTED markdown starts at ``1.`` — the reference's
+    standardization strips ``start`` (not in ALLOWED_ATTRIBUTES,
+    constants.go:1002) before conversion, and that full-kernel behavior
+    is exactly what this archetype pins (start= honouring on raw
+    fragments is pinned separately in tests/test_markdown.py).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://md.example.test/"), F.col("lang"),
+                   F.lit("/"), F.col("source"), F.lit("/"), did)
+    title = F.concat(F.lit("Doc "), did)
+    fam = F.col("doc_id") % 8
+    construct = (
+        F.when(fam == 0, F.concat(
+            F.lit("<h2>Section "), did, F.lit("</h2><p>"), F.col("text"),
+            F.lit("</p><h3>Detail "), did,
+            F.lit("</h3><p>closing words here</p>")))
+        .when(fam == 1, F.concat(
+            F.lit("<p>plain <em>soft</em> and <strong>hard</strong> and "
+                  "<strong><em>both</em></strong> words</p><p>"),
+            F.col("text"), F.lit("</p>")))
+        .when(fam == 2, F.concat(
+            F.lit("<ul><li>alpha</li><li>beta "), did,
+            F.lit("</li><li>gamma</li></ul><p>"), F.col("text"),
+            F.lit("</p>")))
+        .when(fam == 3, F.concat(
+            F.lit('<ol start="5"><li>first</li><li>second '), did,
+            F.lit("</li></ol><p>"), F.col("text"), F.lit("</p>")))
+        .when(fam == 4, F.concat(
+            F.lit('<p>see <a href="https://example.test/p/'), did,
+            F.lit('" title="Doc '), did, F.lit('">the doc</a> here</p><p>'),
+            F.col("text"), F.lit("</p>")))
+        .when(fam == 5, F.concat(
+            F.lit("<p>inline <code>x = "), did,
+            F.lit('</code> call</p><pre><code class="language-python">print('),
+            did, F.lit(")</code></pre><p>"), F.col("text"), F.lit("</p>")))
+        .when(fam == 6, F.concat(
+            F.lit("<blockquote><p>quoted "), did,
+            F.lit(" words</p></blockquote><p>"), F.col("text"),
+            F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<p>before "), did,
+            F.lit("</p><hr><p>line one<br>line two</p>"
+                  '<p><img src="https://img.example.test/'), did,
+            F.lit('.png" alt="Figure '), did, F.lit('"></p><p>'),
+            F.col("text"), F.lit("</p>"))))
+    html_str = F.concat(
+        F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"><title>'),
+        title, F.lit("</title></head><body><article><h1>"), title,
+        F.lit("</h1>"), construct, F.lit("</article></body></html>"))
+    warc_ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+    return docs.select(
+        url.alias("url"), warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"), F.col("lang"), F.col("doc_id"))

@@ -51,6 +51,10 @@ RESULT_SCHEMA = StructType([
     # null unless kernel_options={"debug": True}; a null string column
     # costs nothing in Tungsten row layout.
     StructField("debug_json", StringType()),
+    # ContentMarkdown (defuddle.go:476-482) — null unless
+    # kernel_options={"markdown": True} (or separate_markdown); same
+    # null-column economics as debug_json.
+    StructField("content_markdown", StringType()),
 ])
 
 _RESULT_FIELDS = [f.name for f in RESULT_SCHEMA.fields]
@@ -85,6 +89,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame],
                 _json.dumps(r.debug_info, ensure_ascii=False,
                             separators=(",", ":"))
                 if r.debug_info is not None else None,
+                r.content_markdown,
             ))
         yield pd.DataFrame(rows, columns=_RESULT_FIELDS)
 

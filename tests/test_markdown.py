@@ -164,3 +164,40 @@ def test_multi_block_list_items():
     # nested lists stay tight (no blank line)
     assert convert_html("<ul><li>a<ul><li>n</li></ul></li><li>b</li></ul>") == \
         "- a\n    - n\n- b"
+
+
+def test_gate_construct_families_through_full_kernel():
+    """The extract_markdown driver query's synthesis contract: each
+    construct family converts to the exact shape the DuckDB oracle
+    rebuilds (__spark_entry__.py), AFTER standardization (which e.g.
+    strips ol start= — not in ALLOWED_ATTRIBUTES)."""
+    from defuddle_spark.kernel import Options, extract_document
+
+    text = "key agg row scan"
+    did = 7
+    cases = [
+        (f'<h2>Section {did}</h2><p>{text}</p><h3>Detail {did}</h3>'
+         '<p>closing words here</p>',
+         f'## Section {did}\n\n{text}\n\n### Detail {did}\n\nclosing words here'),
+        ('<p>plain <em>soft</em> and <strong>hard</strong> and '
+         f'<strong><em>both</em></strong> words</p><p>{text}</p>',
+         f'plain *soft* and **hard** and ***both*** words\n\n{text}'),
+        (f'<ol start="5"><li>first</li><li>second {did}</li></ol><p>{text}</p>',
+         f'1. first\n2. second {did}\n\n{text}'),
+        (f'<p>inline <code>x = {did}</code> call</p>'
+         f'<pre><code class="language-python">print({did})</code></pre>'
+         f'<p>{text}</p>',
+         f'inline `x = {did}` call\n\n```python\nprint({did})\n```\n\n{text}'),
+        (f'<p>before {did}</p><hr><p>line one<br>line two</p>'
+         f'<p><img src="https://img.example.test/{did}.png" alt="Figure {did}">'
+         f'</p><p>{text}</p>',
+         f'before {did}\n\n---\n\nline one \\\n line two\n\n'
+         f'![Figure {did}](https://img.example.test/{did}.png)\n\n{text}'),
+    ]
+    for construct, want in cases:
+        html = (f'<!DOCTYPE html><html><head><meta charset="utf-8">'
+                f'<title>Doc {did}</title></head><body><article>'
+                f'<h1>Doc {did}</h1>{construct}</article></body></html>')
+        r = extract_document(html, url=f"https://md.example.test/{did}",
+                             options=Options(markdown=True))
+        assert r.content_markdown == want, construct
