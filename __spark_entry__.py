@@ -382,6 +382,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, [float(x) for x in query], k=10, nprobe=8)
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF through its MATERIALIZED index path end-to-end (the 100 TB
+    shape): train, write the list_id-partitioned index, read it back,
+    and query at nprobe < n_lists — the list filter is partition
+    PRUNING at the scan (PartitionFilters IN-list, EXPLAIN.md), and no
+    assignment math runs at query time. Deterministic self-match oracle:
+    the query IS vector 0's embedding, so its own list is by definition
+    the L2-closest centroid (probe #1) and vector 0 comes back at
+    cos_sim exactly 1.0 (corpus max off-diagonal cosine ~0.51)."""
+    import hashlib
+    from defuddle_spark.ops.similarity import (
+        ivf_index, ivf_topk, ivf_train, write_ivf_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x)
+             for x in emb.filter(F.col("vec_id") == 0).select("embedding")
+             .head()[0]]
+    cents = ivf_train(emb, n_lists=8, iters=1)
+    # stable per-sf path: the returned frame is collected lazily by the
+    # driver AFTER this function returns, so the files must outlive it
+    path = ("/tmp/defuddle_ivf_index_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    write_ivf_index(ivf_index(emb, cents), path)
+    idx = spark.read.parquet(path)
+    return ivf_topk(idx, cents, query, k=1, nprobe=2)
+
+
 def _emb_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copy (element 0 shifted by +0.1, ids +10000):
     deterministic planted near-duplicates (cosine ~0.995 — the table's
@@ -564,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_planted": q_simhash_planted,
         "embedding_neardup_lsh_planted": q_embedding_neardup_lsh_planted,
         "ann_lsh_selfmatch": q_ann_lsh_selfmatch,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         # rows-only (full candidate sets: probabilistic / hash-seeded, not
         # ANSI-SQL-expressible — the *_planted variants above oracle their
         # guaranteed subsets):
@@ -1109,6 +1136,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "ann_lsh_selfmatch": """
+            SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos_sim
+        """,
+        "ann_ivf_indexed": """
             SELECT CAST(0 AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos_sim
         """,
         "tpch_q1": """
