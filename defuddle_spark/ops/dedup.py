@@ -23,29 +23,52 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 log = logging.getLogger("defuddle_spark.ops.dedup")
 
-# Persisted intermediates (signatures reused across a self-join). Long-lived
-# drivers should call release_cached() between jobs; one-shot jobs can rely
-# on executor exit. Registered here so the leak flagged in round 1 is
-# releasable without threading handles through the API. Guarded by a lock
-# for concurrent builders; note that release_cached() between two IN-FLIGHT
-# candidate queries unpersists frames the other query's plan still
-# references (silent recomputation, not wrong answers) — call it at job
-# boundaries, one logical dedup job at a time.
-_CACHED: List[DataFrame] = []
-_CACHED_LOCK = threading.Lock()
+class DedupCache:
+    """Per-build persist registry (round-4: replaces the process-global
+    list, so two concurrent dedup queries cannot release each other's
+    persisted signature frames).
+
+    Pass one as ``cache=`` to a candidate builder, consume the result,
+    then ``release()`` (or use it as a context manager). Builders called
+    WITHOUT a cache register on the module-global shim, released by the
+    deprecated :func:`release_cached` — safe for the common
+    one-query-at-a-time driver, unsafe only for concurrent queries, which
+    is exactly what per-instance caches are for.
+    """
+
+    def __init__(self) -> None:
+        self._frames: List[DataFrame] = []
+        self._lock = threading.Lock()
+
+    def _register(self, df: DataFrame) -> None:
+        with self._lock:
+            self._frames.append(df)
+
+    def release(self) -> None:
+        """Unpersist every frame registered on THIS cache."""
+        with self._lock:
+            frames, self._frames[:] = list(self._frames), []
+        for f in frames:
+            f.unpersist()
+
+    def __enter__(self) -> "DedupCache":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
-def _register_cached(df: DataFrame) -> None:
-    with _CACHED_LOCK:
-        _CACHED.append(df)
+_GLOBAL_CACHE = DedupCache()
+
+
+def _register_cached(df: DataFrame, cache: Optional[DedupCache] = None) -> None:
+    (cache if cache is not None else _GLOBAL_CACHE)._register(df)
 
 
 def release_cached() -> None:
-    """Unpersist every frame cached by the dedup operators."""
-    with _CACHED_LOCK:
-        frames, _CACHED[:] = list(_CACHED), []
-    for f in frames:
-        f.unpersist()
+    """Deprecated shim: unpersist frames from builders that were called
+    without a ``cache=`` handle. Prefer per-build :class:`DedupCache`."""
+    _GLOBAL_CACHE.release()
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
@@ -169,7 +192,8 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 3,
                            hot_bucket_cap: int = 1000,
-                           log_dropped: bool = True) -> DataFrame:
+                           log_dropped: bool = True,
+                           cache: Optional[DedupCache] = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: (id_a, id_b, est_jaccard).
 
     rows_per_band = num_perm // bands. Pairs are emitted once (id_a < id_b)
@@ -195,7 +219,7 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     # cached signatures, and round-2's extra persist (cache write + eviction
     # pressure) measured slower than recomputing it per scan.
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k).persist()
-    _register_cached(sigs)
+    _register_cached(sigs, cache)
     banded = sigs.select(
         id_col,
         F.posexplode(F.array(*[
@@ -326,7 +350,8 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        expected_docs: Optional[int] = None,
                        target_bucket: int = 64,
                        hot_bucket_cap: int = 1000,
-                       log_dropped: bool = True) -> DataFrame:
+                       log_dropped: bool = True,
+                       cache: Optional[DedupCache] = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Scale path: partition the 64 bits into B near-equal blocks and key on
@@ -361,7 +386,7 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
         keys.append(key)
 
     sims = simhash64(docs, id_col, text_col).persist()
-    _register_cached(sims)
+    _register_cached(sims, cache)
     # chunks is a cheap codegen projection over the cached simhashes —
     # recomputed per scan rather than persisted (same measured tradeoff as
     # the minhash banding frame)

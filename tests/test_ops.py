@@ -389,3 +389,26 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
     assert q.count() <= 5
+
+
+def test_dedup_cache_handles_are_independent(toy_docs):
+    """Round-4: per-build DedupCache handles — releasing one query's
+    persisted frames must not touch a concurrent query's (the old
+    module-global registry released everything)."""
+    from defuddle_spark.ops.dedup import DedupCache, minhash_lsh_candidates
+
+    c1, c2 = DedupCache(), DedupCache()
+    p1 = minhash_lsh_candidates(toy_docs, cache=c1, log_dropped=False)
+    p2 = minhash_lsh_candidates(toy_docs, cache=c2, log_dropped=False)
+    want = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    assert (1, 2) in want  # exact dup pair always recovered
+    c1.release()
+    # the second build's persisted signature frame is untouched...
+    assert c2._frames and all(f.is_cached for f in c2._frames)
+    # ...and its result still computes after the other cache released
+    assert {(r["id_a"], r["id_b"]) for r in p2.collect()} == want
+    with c2:  # context-manager form releases on exit
+        pass
+    assert not c2._frames
+    # p1 still computes post-release (recompute, not wrong answers)
+    assert {(r["id_a"], r["id_b"]) for r in p1.collect()} == want
