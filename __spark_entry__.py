@@ -192,6 +192,30 @@ def q_extract_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
         j("$.extractorUsed").alias("extractor_used"))
 
 
+def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming extraction at the gate (spark/streaming.py:35):
+    the archetype-0 pages are staged to a file-source directory, drained
+    by extract_pages_stream with an availableNow trigger into a
+    checkpointed parquet sink, and the SINK's contents are returned —
+    oracled byte-identically like the batch extract_semantic query (the
+    streaming plan shares every operator with the batch plan)."""
+    import hashlib
+    import shutil
+    from defuddle_spark.spark.pages import pages_only, synthesize_pages
+    from defuddle_spark.spark.streaming import extract_pages_stream
+    base = ("/tmp/defuddle_stream_gate_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    # fresh run each invocation; the sink must outlive this function (the
+    # driver collects the returned frame lazily), so only pre-clean
+    shutil.rmtree(base, ignore_errors=True)
+    pages = synthesize_pages(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    pages_only(pages).write.parquet(inp)
+    q = extract_pages_stream(spark, inp, outp, ckpt, available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(outp).select("url", "content", "word_count")
+
+
 def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 markdown through the driver gate (internal/markdown/convert.go:
     13-23): eight construct families (doc_id % 8 — headings, emphasis,
@@ -560,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_giant": q_extract_giant,
         "extract_debug": q_extract_debug,
         "extract_markdown": q_extract_markdown,
+        "extract_stream": q_extract_stream,
         "extract_hackernews": q_extract_hackernews,
         "extract_github": q_extract_github,
         "extract_youtube": q_extract_youtube,
@@ -774,6 +799,16 @@ def oracle_sql() -> dict[str, str]:
                    '["schema_org_extraction","standard_parsing"]' AS steps,
                    CAST(NULL AS VARCHAR) AS extractor_used
             FROM documents
+        """,
+        "extract_stream": f"""
+            -- identical to the batch extract_semantic content oracle:
+            -- the streaming sink must hold byte-identical results
+            SELECT {_URL} AS url,
+                   '<p>' || text || '</p><img src="/media/' || CAST(doc_id AS VARCHAR)
+                       || '.png" alt="Figure ' || CAST(doc_id AS VARCHAR)
+                       || '" width="640" height="480"/>' AS content,
+                   {_WC} AS word_count
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "extract_markdown": f"""
             -- K1: expected content_markdown per construct family
