@@ -45,13 +45,127 @@ HEAD_ELEMENTS = frozenset({
     "title", "base", "link", "meta", "style", "script", "noscript", "template",
 })
 
-# tags that implicitly close an open <p>
+# tags that implicitly close an open <p>. NOTE: <table> closes a p only
+# in NO-quirks documents (spec in-body "table" start tag; the quirks
+# check happens in _implied_close).
 _P_CLOSERS = frozenset({
     "address", "article", "aside", "blockquote", "details", "div", "dl",
     "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
     "h4", "h5", "h6", "header", "hgroup", "hr", "main", "menu", "nav", "ol",
-    "p", "pre", "section", "table", "ul",
+    "p", "pre", "section", "ul",
 })
+
+# Quirks-mode doctype classification (spec 13.2.6.2 "the initial
+# insertion mode"; x/net/html parse.go quirkyIDs). A missing doctype, a
+# non-html name, or a legacy public/system identifier switches the
+# document to quirks mode — whose single tree-construction effect is
+# that <table> no longer closes an open <p>.
+_QUIRKY_PUBLIC_PREFIXES = (
+    "+//silmaril//dtd html pro v0r11 19970101//",
+    "-//as//dtd html 3.0 aswedit + extensions//",
+    "-//advasoft ltd//dtd html 3.0 aswedit + extensions//",
+    "-//ietf//dtd html 2.0 level 1//",
+    "-//ietf//dtd html 2.0 level 2//",
+    "-//ietf//dtd html 2.0 strict level 1//",
+    "-//ietf//dtd html 2.0 strict level 2//",
+    "-//ietf//dtd html 2.0 strict//",
+    "-//ietf//dtd html 2.0//",
+    "-//ietf//dtd html 2.1e//",
+    "-//ietf//dtd html 3.0//",
+    "-//ietf//dtd html 3.2 final//",
+    "-//ietf//dtd html 3.2//",
+    "-//ietf//dtd html 3//",
+    "-//ietf//dtd html level 0//",
+    "-//ietf//dtd html level 1//",
+    "-//ietf//dtd html level 2//",
+    "-//ietf//dtd html level 3//",
+    "-//ietf//dtd html strict level 0//",
+    "-//ietf//dtd html strict level 1//",
+    "-//ietf//dtd html strict level 2//",
+    "-//ietf//dtd html strict level 3//",
+    "-//ietf//dtd html strict//",
+    "-//ietf//dtd html//",
+    "-//metrius//dtd metrius presentational//",
+    "-//microsoft//dtd internet explorer 2.0 html strict//",
+    "-//microsoft//dtd internet explorer 2.0 html//",
+    "-//microsoft//dtd internet explorer 2.0 tables//",
+    "-//microsoft//dtd internet explorer 3.0 html strict//",
+    "-//microsoft//dtd internet explorer 3.0 html//",
+    "-//microsoft//dtd internet explorer 3.0 tables//",
+    "-//netscape comm. corp.//dtd html//",
+    "-//netscape comm. corp.//dtd strict html//",
+    "-//o'reilly and associates//dtd html 2.0//",
+    "-//o'reilly and associates//dtd html extended 1.0//",
+    "-//o'reilly and associates//dtd html extended relaxed 1.0//",
+    "-//sq//dtd html 2.0 hotmetal + extensions//",
+    "-//softquad software//dtd hotmetal pro 6.0::19990601::"
+    "extensions to html 4.0//",
+    "-//softquad//dtd hotmetal pro 4.0::19971010::extensions to html 4.0//",
+    "-//spyglass//dtd html 2.0 extended//",
+    "-//sun microsystems corp.//dtd hotjava html//",
+    "-//sun microsystems corp.//dtd hotjava strict html//",
+    "-//w3c//dtd html 3 1995-03-24//",
+    "-//w3c//dtd html 3.2 draft//",
+    "-//w3c//dtd html 3.2 final//",
+    "-//w3c//dtd html 3.2//",
+    "-//w3c//dtd html 3.2s draft//",
+    "-//w3c//dtd html 4.0 frameset//",
+    "-//w3c//dtd html 4.0 transitional//",
+    "-//w3c//dtd html experimental 19960712//",
+    "-//w3c//dtd html experimental 970421//",
+    "-//w3c//dtd w3 html//",
+    "-//w3o//dtd w3 html 3.0//",
+    "-//webtechs//dtd mozilla html 2.0//",
+    "-//webtechs//dtd mozilla html//",
+)
+_QUIRKY_PUBLIC_EXACT = frozenset({
+    "-//w3o//dtd w3 html strict 3.0//en//",
+    "-/w3c/dtd html 4.0 transitional/en",
+    "html",
+})
+_QUIRKY_NOSYSTEM_PUBLIC_PREFIXES = (
+    "-//w3c//dtd html 4.01 frameset//",
+    "-//w3c//dtd html 4.01 transitional//",
+)
+_QUIRKY_SYSTEM_EXACT = \
+    "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"
+
+_DOCTYPE_RE = re.compile(r"doctype\s*([^\s>]*)\s*(.*)$", re.I | re.S)
+_PUBLIC_RE = re.compile(
+    r"public\s*([\"'])(.*?)\1\s*(?:([\"'])(.*?)\3)?\s*$", re.I | re.S)
+_SYSTEM_RE = re.compile(r"system\s*([\"'])(.*?)\1\s*$", re.I | re.S)
+
+
+def _doctype_is_quirky(decl: str) -> bool:
+    """Classify a ``<!DOCTYPE ...>`` declaration body per spec 13.2.6.2."""
+    m = _DOCTYPE_RE.match(decl.strip())
+    if not m:
+        return True
+    name, rest = m.group(1).lower(), m.group(2).strip()
+    if name != "html":
+        return True
+    public_id = system_id = None
+    pm = _PUBLIC_RE.match(rest)
+    if pm:
+        public_id = pm.group(2).lower()
+        system_id = pm.group(4).lower() if pm.group(4) is not None else None
+    else:
+        sm = _SYSTEM_RE.match(rest)
+        if sm:
+            system_id = sm.group(2).lower()
+        elif rest:
+            return True  # malformed identifier clause: force-quirks
+    if public_id is not None:
+        if public_id in _QUIRKY_PUBLIC_EXACT:
+            return True
+        if public_id.startswith(_QUIRKY_PUBLIC_PREFIXES):
+            return True
+        if system_id is None and \
+                public_id.startswith(_QUIRKY_NOSYSTEM_PUBLIC_PREFIXES):
+            return True
+    if system_id == _QUIRKY_SYSTEM_EXACT:
+        return True
+    return False
 
 # HTML5 foreign-content case adjustments (SVG), as applied by x/net/html
 _SVG_ATTR_ADJUST = {
@@ -551,6 +665,14 @@ class _TreeBuilder(HTMLParser):
         # the spec's form element pointer: a second <form> start tag is
         # ignored while one is open (no template on the stack here)
         self.form_ptr: Optional[Element] = None
+        # Quirks mode (spec 13.2.6.2): documents default to quirks until
+        # a doctype says otherwise (a MISSING doctype is quirks — most of
+        # the messy Common-Crawl tail); fragments parse no-quirks like
+        # x/net/html's ParseFragment with a standards-mode context.
+        self.quirks = not fragment
+        # "initial" insertion mode: a doctype token only counts before
+        # any content (later doctypes are parse errors, ignored)
+        self._initial = not fragment
 
     # -- helpers --
     def _cur(self) -> Element:
@@ -901,8 +1023,12 @@ class _TreeBuilder(HTMLParser):
             self.ns = [""]
 
     def _implied_close(self, tag: str) -> None:
-        # close <p> when a p-closing block opens
-        if tag in _P_CLOSERS:
+        # close <p> when a p-closing block opens; <table> does so only in
+        # no-quirks documents (spec in-body "table": "If the Document is
+        # NOT set to quirks mode, and the stack of open elements has a p
+        # element in button scope, then close a p element" — in quirks
+        # the table nests inside the open <p>)
+        if tag in _P_CLOSERS or (tag == "table" and not self.quirks):
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t == "p":
@@ -937,6 +1063,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
+        self._initial = False  # any start tag leaves the initial mode
         # Foreign-content dispatch (spec 13.2.6, "tree construction
         # dispatcher"; x/net/html inForeignContent + parseForeignContent):
         # when the current node is SVG/MathML and the token neither hits an
@@ -1205,8 +1332,11 @@ class _TreeBuilder(HTMLParser):
         if tag in VOID_ELEMENTS:
             return
         if not self.fragment and tag in ("html", "body", "head"):
-            if tag == "head" and not self.body_started:
-                self._start_body()
+            # </head> does NOT imply the body: the spec's "after head"
+            # mode still routes base/link/meta/script/style/title/etc
+            # INTO the head (pushing it back on the stack); the body only
+            # starts at <body>, a non-head start tag, or non-ws text —
+            # all of which handle_starttag/handle_data already do.
             return
         if self.frameset_doc and tag != "frameset" and (
                 self._cur().tag == "frameset" or self._cur() is self.html):
@@ -1263,6 +1393,8 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
+        if self._initial and data.strip():
+            self._initial = False  # non-whitespace text leaves initial
         if self.cdata_elem in self._RCDATA_ELEMENTS:
             data = _unescape(data)
         # spec: a newline immediately after <pre>/<listing>/<textarea>
@@ -1323,7 +1455,12 @@ class _TreeBuilder(HTMLParser):
         cur.children.append(c)
 
     def handle_decl(self, decl: str) -> None:
-        pass  # doctype dropped (we re-serialize inner content only)
+        # The doctype node itself is dropped (we re-serialize inner
+        # content only), but it decides quirks mode — and only from the
+        # "initial" insertion mode; a doctype after content is ignored.
+        if self._initial and decl.lstrip()[:7].lower() == "doctype":
+            self.quirks = _doctype_is_quirky(decl)
+            self._initial = False
 
     def unknown_decl(self, data: str) -> None:
         # <![CDATA[...]]> is a real text token inside foreign content

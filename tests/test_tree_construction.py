@@ -14,7 +14,11 @@ from defuddle_spark.dom import parse
 
 
 def body_of(src: str) -> str:
-    return parse(f"<html><body>{src}</body></html>").body.inner_html()
+    # html5lib-tests expectations assume a standards-mode (no-quirks)
+    # document, so pin them under an explicit doctype; quirks-specific
+    # divergences are pinned separately in QUIRKS_CASES.
+    return parse(
+        f"<!DOCTYPE html><html><body>{src}</body></html>").body.inner_html()
 
 
 ADOPTION_CASES = [
@@ -455,3 +459,83 @@ STABILITY_PINS = [
 @pytest.mark.parametrize("src,want", STABILITY_PINS)
 def test_stability_pins(src, want):
     assert body_of(src) == want
+
+
+# --- quirks mode (spec 13.2.6.2; x/net/html parse.go quirks handling) ----
+# The one tree-construction effect of quirks mode: <table> does NOT close
+# an open <p>, so the table nests inside it. A missing doctype, a
+# non-html doctype name, or a legacy public identifier is quirks.
+QUIRKS_DOCS = [
+    # (full document, expected body inner_html)
+    ("<p>1<table><tr><td>x</td></tr></table>",
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    ("<!DOCTYPE html><p>1<table><tr><td>x</td></tr></table>",
+     "<p>1</p><table><tbody><tr><td>x</td></tr></tbody></table>"),
+    # html 4.01 transitional WITHOUT a system id: quirks
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">'
+     "<p>1<table><td>x",
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # the same public id WITH a system id: NO-quirks (limited-quirks,
+    # which has no tree effect)
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+     '"http://www.w3.org/TR/html4/loose.dtd"><p>1<table><td>x',
+     "<p>1</p><table><tbody><tr><td>x</td></tr></tbody></table>"),
+    # html 3.2: quirky prefix regardless of system id
+    ('<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2 Final//EN">'
+     "<p>1<table><td>x",
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # non-html doctype name: quirks
+    ("<!DOCTYPE foo><p>1<table><td>x",
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # XHTML 1.0 strict: standards
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" '
+     '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+     "<p>1<table><td>x",
+     "<p>1</p><table><tbody><tr><td>x</td></tr></tbody></table>"),
+    # the legacy exact-match quirky public id
+    ('<!DOCTYPE html PUBLIC "HTML"><p>1<table><td>x',
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # a doctype AFTER content is ignored: still quirks
+    ("<p>pre</p><!DOCTYPE html><p>1<table><td>x",
+     "<p>pre</p><p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+]
+
+
+@pytest.mark.parametrize("src,want", QUIRKS_DOCS)
+def test_quirks_mode_table_in_p(src, want):
+    assert parse(src).body.inner_html() == want
+
+
+def test_fragments_parse_no_quirks():
+    # x/net/html ParseFragment with a standards context: table closes p
+    from defuddle_spark.dom import parse_fragment
+    nodes = parse_fragment("<p>1<table><td>x")
+    got = "".join(n.outer_html() for n in nodes if getattr(n, "tag", None))
+    assert got == "<p>1</p><table><tbody><tr><td>x</td></tr></tbody></table>"
+
+
+# --- after-head rules (spec 13.2.6.4.6; x/net/html afterHeadIM) ----------
+AFTER_HEAD_DOCS = [
+    # metadata start tags after </head> are routed back INTO the head
+    ('<head></head><meta name="a"><body>x', '<meta name="a"/>', "x"),
+    ("<head></head><script>var x=1</script><title>T</title><p>y",
+     "<script>var x=1</script><title>T</title>", "<p>y</p>"),
+    ("<head></head><link rel=stylesheet><style>.a{}</style>z",
+     '<link rel="stylesheet"/><style>.a{}</style>', "z"),
+    # a non-head start tag opens the body; later metadata stays in body
+    ("<head></head><div>a</div><meta name=b>",
+     "", '<div>a</div><meta name="b"/>'),
+    # non-whitespace text opens the body
+    ("<head><title>T</title></head>abc<meta name=c>",
+     "<title>T</title>", 'abc<meta name="c"/>'),
+    # a second <head> start tag is ignored (no duplicate element)
+    ("<head><title>T</title></head><head><meta name=d></head><p>x",
+     '<title>T</title><meta name="d"/>', "<p>x</p>"),
+]
+
+
+@pytest.mark.parametrize("src,want_head,want_body", AFTER_HEAD_DOCS)
+def test_after_head_rules(src, want_head, want_body):
+    doc = parse(src)
+    assert doc.head.inner_html() == want_head
+    assert doc.body.inner_html() == want_body
