@@ -49,10 +49,11 @@ HEAD_ELEMENTS = frozenset({
 # in NO-quirks documents (spec in-body "table" start tag; the quirks
 # check happens in _implied_close).
 _P_CLOSERS = frozenset({
-    "address", "article", "aside", "blockquote", "details", "div", "dl",
-    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
-    "h4", "h5", "h6", "header", "hgroup", "hr", "main", "menu", "nav", "ol",
-    "p", "pre", "section", "ul",
+    "address", "article", "aside", "blockquote", "center", "details",
+    "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+    "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header",
+    "hgroup", "hr", "listing", "main", "menu", "nav", "ol", "p",
+    "plaintext", "pre", "section", "summary", "ul", "xmp",
 })
 
 # Quirks-mode doctype classification (spec 13.2.6.2 "the initial
@@ -1564,6 +1565,17 @@ def _fast_tokenize(b: "_TreeBuilder", s: str) -> None:
         c = s[i + 1] if i + 1 < n else ""
         if c.isascii() and c.isalpha():
             k = _fast_starttag(b, s, i, cdata_set)
+            # spec PLAINTEXT tokenizer state: once the tree builder has
+            # actually inserted a <plaintext> element (x/net/html parity:
+            # not when the token was ignored, e.g. inside a select), the
+            # REST of the input is one raw text token — no markup, no
+            # character references, not even </plaintext>.
+            if c in "pP" and k != -1 and s[i + 1:i + 10].lower() == "plaintext":
+                cur = getattr(b, "_cur", None)
+                if cur is not None and cur().tag == "plaintext":
+                    if k < n:
+                        b.handle_data(s[k:n])
+                    return
         elif c == "/":
             k = _fast_endtag(b, s, i)
         elif startswith("<!--", i):

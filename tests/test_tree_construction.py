@@ -539,3 +539,44 @@ def test_after_head_rules(src, want_head, want_body):
     doc = parse(src)
     assert doc.head.inner_html() == want_head
     assert doc.body.inner_html() == want_body
+
+
+# --- PLAINTEXT tokenizer state (spec 13.2.5.5; x/net/html rawTag) --------
+def test_plaintext_raw_to_eof():
+    # everything after <plaintext> is literal text: no elements, no
+    # charrefs, not even its own end tag; the serializer (x/net/html
+    # render.go raw-text set) emits the content unescaped
+    d = parse("<!DOCTYPE html><body>"
+              "<plaintext>x<b>n</b></plaintext>tail &amp; more")
+    pt = next(e for e in d.body.descendants() if e.tag == "plaintext")
+    assert pt.text() == "x<b>n</b></plaintext>tail &amp; more"
+    assert d.body.inner_html() == \
+        "<plaintext>x<b>n</b></plaintext>tail &amp; more</plaintext>"
+
+
+def test_plaintext_ignored_in_select_keeps_tokenizing():
+    # in-select ignores the start tag, so the tokenizer is NOT switched
+    # (the spec switches it only from the in-body insertion rule)
+    assert parse("<!DOCTYPE html><body><select><plaintext>x</select>y"
+                 ).body.inner_html() == "<select>x</select>y"
+
+
+def test_plaintext_closes_open_p():
+    assert parse("<!DOCTYPE html><p>a<plaintext>b").body.inner_html() == \
+        "<p>a</p><plaintext>b</plaintext>"
+
+
+P_CLOSER_CASES = [
+    # spec in-body p-closing start tags added in round 4
+    ("<p>a<center>c</center>", "<p>a</p><center>c</center>"),
+    ("<p>a<summary>s</summary>", "<p>a</p><summary>s</summary>"),
+    ("<p>a<dialog>d</dialog>", "<p>a</p><dialog>d</dialog>"),
+    ("<p>a<listing>l</listing>", "<p>a</p><listing>l</listing>"),
+    ("<p>a<dir><li>x</li></dir>", "<p>a</p><dir><li>x</li></dir>"),
+    ("<p>a<xmp><i>raw</xmp>", "<p>a</p><xmp><i>raw</xmp>"),
+]
+
+
+@pytest.mark.parametrize("src,want", P_CLOSER_CASES)
+def test_p_closing_start_tags(src, want):
+    assert body_of(src) == want
