@@ -37,6 +37,34 @@ def main() -> None:
     from defuddle_spark.spark.pipeline import extract_pages
     from defuddle_spark.spark.session import get_spark
 
+    # Pin the whole bench (driver + local executor threads) to a FIXED
+    # core set so runs are layout-comparable across rounds (local[N]
+    # otherwise overflows onto whichever cores are free — the
+    # cluster-equiv harness already pins; round-4 brings the main bench
+    # in line).
+    if hasattr(os, "sched_setaffinity"):
+        try:
+            os.sched_setaffinity(0, set(range(cpus)))
+        except OSError:
+            pass
+
+    # Single-core kernel probe FIRST (pure Python, before the JVM): the
+    # round-over-round kernel anchor. A full-width delta without a probe
+    # delta is neighbor load, not a regression (round-3 lesson — that
+    # adjudication needed an out-of-band probe; now it's in the artifact).
+    from tools.kernel_probe import run_probe
+    probe = run_probe(sf_dir, n_docs=500, reps=3, pin_core=0)
+
+    # If the box is busy, WAIT (bounded) rather than time under load and
+    # annotate afterwards: numbers that need external adjudication are
+    # the thing round 4 is removing.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
+    wait_budget = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "180"))
+    waited = 0
+    while os.getloadavg()[0] > load_gate and waited < wait_budget:
+        time.sleep(10)
+        waited += 10
+
     spark = get_spark(cores=cpus, app_name="defuddle-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -113,6 +141,9 @@ def main() -> None:
         # number. Our own Spark work contributes to load_avg_end.
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
+        "load_wait_s": waited,
+        "pinned_cores": cpus if hasattr(os, "sched_setaffinity") else None,
+        **probe,
     }))
     spark.stop()
 

@@ -1,0 +1,122 @@
+"""Single-core kernel probe — the bench-trustworthiness anchor.
+
+The sandbox box carries fluctuating external neighbor load, which swung
+the round-3 full-width bench by 2x while the kernel itself was
+unchanged. This probe times the pure-Python extraction kernel (no
+Spark, no JVM, no shuffle) on ONE pinned core over pages built with the
+same three archetype templates as spark/pages.synthesize_pages — so a
+round-over-round delta in ms/doc is a KERNEL delta, and a full-width
+bench delta without a probe delta is load, not regression.
+
+Usage: python tools/kernel_probe.py [sf_dir] [n_docs]
+Prints one JSON line; also importable (run_probe) so bench.py embeds
+the number in its own JSON artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_pages(sf_dir: str, n_docs: int = 500) -> list:
+    """(url, html_bytes) pages mirroring synthesize_pages' archetypes."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang", "source"])
+    rows = tbl.to_pylist()[:n_docs]
+    pages = []
+    for r in rows:
+        did, text, lang, source = (r["doc_id"], r["text"], r["lang"],
+                                   r["source"])
+        url = f"https://docs.example.test/{lang}/{source}/{did}-r0"
+        title = f"Doc {did}"
+        arch = did % 3
+        meta = ""
+        if arch == 1:
+            meta = (
+                f'<meta property="og:title" content="{title}">'
+                '<meta property="og:site_name" content="Example Docs">'
+                '<meta name="author" content="Synthetic Author">'
+                f'<meta name="description" content="Synthetic description of {title}.">'
+                '<meta property="article:published_time" content="2024-01-15T00:00:00Z">'
+                f'<meta property="og:image" content="https://img.example.test/{did}.png">'
+                '<link rel="icon" href="/favicon-32.png">'
+                f'<link rel="canonical" href="{url}">')
+        if arch == 2:
+            article = (f"<article><h1>{title}</h1>"
+                       f'<div class="wrapper"><div class="inner"><p>{text}'
+                       "</p></div></div></article>")
+        else:
+            imgs = ""
+            if arch == 0:
+                imgs = (f'<img src="/media/{did}.png" alt="Figure {did}"'
+                        ' width="640" height="480">'
+                        '<img src="/pix.png" width="10" height="10">'
+                        '<div style="display:none">tracking beacon text</div>')
+            article = f"<article><h1>{title}</h1><p>{text}</p>{imgs}</article>"
+        html = (
+            f'<!DOCTYPE html><html><head><meta charset="utf-8">'
+            f"<title>{title}</title>{meta}</head><body>"
+            '<header><div class="logo">Example Docs</div></header>'
+            '<nav><a href="/">Home</a><a href="/archive">Archive</a>'
+            '<a href="/tags">Tags</a></nav>'
+            '<div class="ad">Buy widgets now! Limited time offer for subscribers.</div>'
+            f"<main>{article}</main>"
+            '<aside class="sidebar">Trending: <a href="/p1">One</a> '
+            '<a href="/p2">Two</a></aside>'
+            '<div id="comments"><p>First comment!</p><p>Great post.</p></div>'
+            "<footer>© 2024 Example Docs. All rights reserved.</footer>"
+            "</body></html>")
+        pages.append((url, html.encode("utf-8")))
+    return pages
+
+
+def run_probe(sf_dir: str = "/root/testdata/sf0.01", n_docs: int = 500,
+              reps: int = 3, pin_core: int = 0) -> dict:
+    """Time the kernel single-core; returns the probe dict (best-of-reps,
+    since neighbor noise only ever slows a run down)."""
+    old_affinity = None
+    if hasattr(os, "sched_setaffinity"):
+        old_affinity = os.sched_getaffinity(0)
+        try:
+            os.sched_setaffinity(0, {pin_core})
+        except OSError:
+            old_affinity = None
+    try:
+        from defuddle_spark.kernel import extract_document_bytes
+        pages = build_pages(sf_dir, n_docs)
+        # warmup rep compiles selector tables / regexes
+        for url, html in pages[:50]:
+            extract_document_bytes(html, url=url)
+        best = float("inf")
+        words = 0
+        for _ in range(reps):
+            t0 = time.monotonic()
+            words = 0
+            for url, html in pages:
+                words += extract_document_bytes(html, url=url).word_count
+            best = min(best, time.monotonic() - t0)
+        return {
+            "kernel_ms_per_doc": round(best * 1000 / len(pages), 4),
+            "probe_docs": len(pages),
+            "probe_reps": reps,
+            "probe_words": words,
+            "probe_core": pin_core,
+        }
+    finally:
+        if old_affinity is not None:
+            os.sched_setaffinity(0, old_affinity)
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    out = run_probe(sf, n)
+    out["load_avg"] = round(os.getloadavg()[0], 2)
+    print(json.dumps(out))
