@@ -350,6 +350,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs_doubled(spark, sf_dir), k=3, threshold=0.6)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER collapse (the step after pair generation):
+    exact-duplicate triples (docs ∪ +10000 ∪ +20000 copies) produce
+    3-cliques via threshold-1.0 n-gram Jaccard (equal shingle sets —
+    fully deterministic), and label-propagation connected components
+    must assign every member its clique minimum. The oracle recomputes
+    components with a recursive transitive closure in DuckDB."""
+    from defuddle_spark.ops.dedup import (duplicate_components,
+                                          ngram_jaccard_pairs)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d3 = (d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"),
+                                 "text"))
+          .unionByName(d.select((F.col("doc_id") + 20000).alias("doc_id"),
+                                "text")))
+    pairs = ngram_jaccard_pairs(d3, threshold=1.0)
+    return duplicate_components(pairs)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.textstats import text_quality
     return text_quality(_docs(spark, sf_dir))
@@ -597,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_elements": q_extract_elements,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -1074,6 +1093,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.6
+        """,
+        "dedup_clusters": f"""
+            -- tripled corpus; threshold-1.0 jaccard pairs are exactly
+            -- "equal distinct-shingle sets"; components via recursive
+            -- transitive closure, labelled by their minimum id
+            WITH RECURSIVE
+            docs3 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 10000, text FROM documents
+                UNION ALL SELECT doc_id + 20000, text FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, sh FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, len(toks) - 1)]) AS sh
+                    FROM (SELECT doc_id, {_TOKENS} AS toks FROM docs3)
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b USING (sh)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common = sa.n AND n_common = sb.n
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM prs
+                UNION SELECT id_b, id_a FROM prs
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, reach.r FROM edges e
+                JOIN reach ON reach.node = e.d
+            )
+            SELECT node AS doc_id, min(r) AS component
+            FROM reach GROUP BY node
         """,
         "text_quality": f"""
             SELECT doc_id,

@@ -411,3 +411,88 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     return (pairs.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Collapse candidate near-dup pairs into duplicate CLUSTERS:
+    (doc_id, component) where component is the cluster's minimum id.
+
+    The step every real dedup pipeline needs after pair generation —
+    near-duplication is transitive in practice (a~b, b~c => keep one of
+    {a,b,c}), so survivors must be picked per connected component, not
+    per pair (pairwise keep-min would keep b from (b,c) even though b
+    loses to a).
+
+    Algorithm: large-star label propagation — every node starts with
+    label = its own id; each round every node adopts the minimum label in
+    its neighborhood (including itself); converges in O(diameter) rounds,
+    and near-dup clusters have tiny diameters (a boilerplate cluster is
+    one dense blob). Each round is one join + one groupBy-min on (node,
+    label) pairs — all codegen, shuffle keyed on node ids only. The loop
+    stops when a round changes NOTHING (one limit(1).count() action per
+    round — the driver-side work is a scalar per round, never the data).
+
+    Every round's frame is eagerly localCheckpoint-ed: an iterative
+    DataFrame loop otherwise stacks each round's plan on top of the
+    last and Catalyst re-analysis blows up superlinearly (measured: a
+    12-round chain took minutes un-truncated, seconds truncated — the
+    same reason GraphFrames checkpoints its CC iterations). On a real
+    cluster prefer spark.sparkContext.setCheckpointDir + .checkpoint()
+    for executor-loss tolerance; localCheckpoint trades that for speed,
+    which is the right call inside a single job.
+
+    At 10^12-doc scale the pair set is the output of the banded/blocked
+    candidate generators (never all-pairs), and rounds shuffle one
+    (node, label) row per node — the same shape GraphX/GraphFrames
+    connected-components uses, without the library dependency.
+    """
+    # symmetric edge list (a~b and b~a), one row per direction
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"),
+                              F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        # each node's next label: min over self-label and neighbors'
+        neigh = (edges
+                 .join(labels.withColumnRenamed("node", "dst")
+                       .withColumnRenamed("label", "nlabel"), "dst")
+                 .groupBy("src").agg(F.min("nlabel").alias("nmin"))
+                 .withColumnRenamed("src", "node"))
+        nxt = (labels.join(neigh, "node", "left")
+               .select("node",
+                       F.least("label", F.coalesce("nmin", "label"))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup collapse: keep one representative (minimum id)
+    per duplicate component plus every unpaired document.
+
+    (doc_id, is_representative=true rows only) — anti-join shape: docs
+    that appear in a component with a smaller minimum are dropped; the
+    component minimum and never-candidated docs survive.
+    """
+    comp = duplicate_components(pairs, max_iters=50)
+    losers = comp.filter(F.col("doc_id") != F.col("component")) \
+                 .select(id_col)
+    return (docs.select(id_col)
+            .join(losers, id_col, "left_anti"))

@@ -412,3 +412,30 @@ def test_dedup_cache_handles_are_independent(toy_docs):
     assert not c2._frames
     # p1 still computes post-release (recompute, not wrong answers)
     assert {(r["id_a"], r["id_b"]) for r in p1.collect()} == want
+
+
+def test_duplicate_components_and_survivors(spark):
+    """Label propagation collapses transitive near-dup chains: pairwise
+    keep-min would keep 2 from (2,3) even though 2 loses to 1."""
+    from defuddle_spark.ops.dedup import dedup_survivors, duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 3), (5, 6)], ["id_a", "id_b"])
+    comp = {(r["doc_id"], r["component"])
+            for r in duplicate_components(pairs).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (9, 1), (5, 5), (6, 5)}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 7, 9)],
+                                 ["doc_id"])
+    surv = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert surv == [1, 5, 7]  # one per component + the unpaired doc
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    from defuddle_spark.ops.dedup import duplicate_components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["id_a", "id_b"])
+    comp = {(r["doc_id"], r["component"])
+            for r in duplicate_components(pairs).collect()}
+    assert comp == {(i, 100) for i in range(100, 113)}
