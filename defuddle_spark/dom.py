@@ -464,6 +464,22 @@ class Element(Node):
         """Replace this element with its children (goquery ReplaceWithHtml(inner))."""
         self.replace_with_nodes(list(self.children))
 
+    def retag(self, new_tag: str, attrs: Optional[list] = None) -> "Element":
+        """Replace this element with a same-children element of another
+        tag — pure tree surgery, equivalent to the serialize-and-reparse
+        `replace_with_html("<t …>" + inner_html() + "</t>")` pattern
+        (re-parsing a parser-built subtree is the identity) without the
+        per-call tokenizer round trip (it was one full fragment parse per
+        retagged heading in the kernel hot path)."""
+        el = Element(new_tag, attrs or [])
+        kids = list(self.children)
+        self.children = []
+        for c in kids:
+            c.parent = el
+        el.children = kids
+        self.replace_with_nodes([el])
+        return el
+
     def element_children(self) -> list:
         return [c for c in self.children if c.type == ELEMENT]
 

@@ -125,13 +125,8 @@ def _normalize_text(text: str) -> str:
 def standardize_headings(element: Element, title: str) -> None:
     """content.go:364-405 — h1→h2, drop first h2 matching the title."""
     for h1 in [d for d in element.descendants() if d.tag == "h1"]:
-        inner = h1.inner_html()
-        parts = ["<h2"]
-        for k, v in h1.attrs:
-            if k in constants.ALLOWED_ATTRIBUTES:
-                parts.append(f' {k}="{v}"')
-        parts.append(">" + inner + "</h2>")
-        h1.replace_with_html("".join(parts))
+        h1.retag("h2", [[k, v] for k, v in h1.attrs
+                        if k in constants.ALLOWED_ATTRIBUTES])
 
     first_h2 = next((d for d in element.descendants() if d.tag == "h2"), None)
     if first_h2 is not None:
@@ -149,14 +144,14 @@ def standardize_footnotes(element: Element) -> None:
     for sel in _FOOTNOTE_INLINE:
         for ref in sel.find_all(element):
             if ref.tag != "sup":
-                ref.replace_with_html("<sup>" + ref.inner_html() + "</sup>")
+                ref.retag("sup")
 
 
 # -- T4 ---------------------------------------------------------------------
 
 def _convert_paragraph_divs(container: Element) -> None:
     for div in find_all(container, 'div[role="paragraph"]'):
-        div.replace_with_html("<p>" + div.inner_html() + "</p>")
+        div.retag("p")
 
 
 def _transform_list_element(el: Element, doc: Document) -> Optional[Element]:
