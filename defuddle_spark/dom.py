@@ -648,9 +648,17 @@ class _TreeBuilder(HTMLParser):
     # inside <title>/<textarea> is parsed as real elements (x/net/html
     # treats both as text-only).
     # noframes/xmp/noembed/iframe are rawtext per spec (the generic raw
-    # text elements parsing algorithm; x/net/html rawTextElements)
+    # text elements parsing algorithm; x/net/html rawTextElements).
+    # noscript is rawtext because the reference parses with x/net/html's
+    # DEFAULT scripting=true flag (goquery.NewDocumentFromReader →
+    # html.Parse, defuddle.go:90): with scripting on, both in-head and
+    # in-body <noscript> take the generic-raw-text path, so markup
+    # inside it is a text node and the noscript removal selector drops
+    # it ALL (markup-parsing it would let e.g. a head-noscript <div>
+    # escape into the body and survive extraction).
     CDATA_CONTENT_ELEMENTS = ("script", "style", "title", "textarea",
-                              "noframes", "xmp", "noembed", "iframe")
+                              "noframes", "xmp", "noembed", "iframe",
+                              "noscript")
     _RCDATA_ELEMENTS = ("title", "textarea")
 
     def __init__(self, fragment: bool = False) -> None:

@@ -580,3 +580,63 @@ P_CLOSER_CASES = [
 @pytest.mark.parametrize("src,want", P_CLOSER_CASES)
 def test_p_closing_start_tags(src, want):
     assert body_of(src) == want
+
+
+# --- round-4 breadth: attr merging, table sections, formatting ----------
+def test_body_and_html_attr_merge():
+    # spec: a second <body>/<html> start tag merges only MISSING attrs
+    d = parse("<!DOCTYPE html><html lang=en><body bgcolor=red><p>x</p>"
+              "<body onload=a bgcolor=blue></html><html lang=fr dir=rtl>")
+    assert d.body.get("bgcolor") == "red"   # first value wins
+    assert d.body.get("onload") == "a"      # new attr merged in
+    assert d.html.get("lang") == "en"
+    assert d.html.get("dir") == "rtl"
+
+
+MISC_CASES = [
+    # table section elements sequence freely after a tbody
+    ("<table><tbody><tr><td>a</td></tr><tfoot><tr><td>f</td></tr></tfoot>"
+     "<thead>",
+     "<table><tbody><tr><td>a</td></tr></tbody><tfoot><tr><td>f</td></tr>"
+     "</tfoot><thead></thead></table>"),
+    # script inside a table goes to the current table context, not foster
+    ("<table><tr><td>x</td></tr><script>s()</script></table>",
+     "<table><tbody><tr><td>x</td></tr><script>s()</script></tbody>"
+     "</table>"),
+    # nobr is a formatting element: a second one closes the first
+    ("<nobr>a<nobr>b", "<nobr>a</nobr><nobr>b</nobr>"),
+    # dt/dd close each other
+    ("<dl><dt>t<dd>d<dt>t2", "<dl><dt>t</dt><dd>d</dd><dt>t2</dt></dl>"),
+    # ruby/rt
+    ("<ruby>a<rt>b</rt></ruby>", "<ruby>a<rt>b</rt></ruby>"),
+    # the classic a-in-table fostering case (html5lib tests1.dat):
+    # the fostered <a href=2> closes the outer <a>, survives the table,
+    # and is reconstructed after it
+    ("<a href=1>a<table><a href=2>b</table>c",
+     '<a href="1">a<a href="2">b</a><table></table></a><a href="2">c</a>'),
+]
+
+
+@pytest.mark.parametrize("src,want", MISC_CASES)
+def test_round4_breadth_cases(src, want):
+    assert body_of(src) == want
+
+
+def test_noscript_is_rawtext_like_the_reference():
+    """goquery→html.Parse runs with scripting=true (the default), so
+    <noscript> takes the generic-raw-text path everywhere: its content
+    is ONE text node (serialized raw), and markup inside it can never
+    escape into the body."""
+    d = parse("<!DOCTYPE html><head><noscript><link href=a><div>x</div>"
+              "</noscript></head><body>y")
+    ns = next(e for e in d.head.descendants() if e.tag == "noscript")
+    assert ns.text() == "<link href=a><div>x</div>"
+    assert d.body.inner_html() == "y"
+    # extraction parity: the noscript EXACT selector removes the whole
+    # element, fallback markup included
+    from defuddle_spark.kernel import extract_document
+    r = extract_document(
+        "<html><head><title>T</title></head><body><article><h1>T</h1>"
+        "<p>real words here</p><noscript><p>fallback words</p></noscript>"
+        "</article></body></html>")
+    assert r.extracted_text == "real words here"
