@@ -390,6 +390,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, [float(x) for x in query], k=10)
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-serving exact top-k: three query vectors in ONE corpus pass
+    through the distributed two-stage top-k (broadcast queries →
+    per-shard partial top-k with map-side combine → tiny per-query
+    merge; the shuffle carries <= shards*k rows per query, never the
+    Q x N scored rows a window-rank would move)."""
+    from defuddle_spark.ops.similarity import cosine_topk_batch
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id").isin([0, 7, 21]))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_embedding")))
+    return cosine_topk_batch(emb, queries, k=10)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.dedup import minhash_lsh_candidates
     return (minhash_lsh_candidates(_docs_doubled(spark, sf_dir))
@@ -622,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1344,6 +1359,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10
+        """,
+        "ann_batch_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id IN (0, 7, 21)
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.qe), 4) AS cos_sim
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rnk
+                FROM scored
+            )
+            SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id, cos_sim
+            FROM ranked WHERE rnk <= 10
         """,
         "ann_ivf_topk": """
             -- full-probe IVF is exact search: every vector is assigned

@@ -418,3 +418,70 @@ def ivf_topk(embeddings: DataFrame, centroids: List[List[float]],
             .select(F.col(id_col), sim.alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.col(id_col))
             .limit(k))
+
+
+def cosine_topk_batch(embeddings: DataFrame, queries: DataFrame,
+                      k: int = 10, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      query_id_col: str = "query_id",
+                      query_emb_col: str = "query_embedding",
+                      round_digits: int = 4,
+                      shards: int = 64) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one corpus pass
+    (the batch-serving baseline next to the single-query cosine_topk).
+
+    Scale shape — distributed two-stage top-k, because the naive
+    window-rank over (query_id) would shuffle all Q x N scored rows:
+    1. broadcast the (small) query table and score every (vector, query)
+       pair in one codegen projection over the corpus scan;
+    2. per (query, shard-of-id) PARTIAL top-k via a sort_array/slice
+       aggregate — map-side partial aggregation caps every agg buffer at
+       ~N/shards rows and the shuffle carries <= shards*k rows per query;
+    3. per query, merge the shard winners (shards*k rows each — trivial)
+       and explode the final k.
+
+    Ordering is (rounded cos_sim desc, id asc), with the rounding applied
+    BEFORE ranking on both the Spark and oracle side so tie-breaks are
+    decided identically.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(query_emb_col),
+                    lambda x: x.cast("double")).alias("_q"))
+    q = q.withColumn("_qn", F.sqrt(F.aggregate(
+        F.transform("_q", lambda a: a * a), F.lit(0.0),
+        lambda acc, x: acc + x)))
+    e = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("_e"))
+    e = e.withColumn("_n", F.sqrt(F.aggregate(
+        F.transform("_e", lambda a: a * a), F.lit(0.0),
+        lambda acc, x: acc + x)))
+    scored = e.join(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("_e", "_q", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sim = F.round(dot / (F.col("_n") * F.col("_qn")), round_digits)
+    scored = scored.select(
+        F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+               F.lit(shards)).alias("_shard"))
+    # rank key: one struct sorted ascending = (-sim, id); negation makes
+    # the best similarity the smallest key
+    key = F.struct((-F.col("cos_sim")).alias("nsim"),
+                   F.col(id_col).alias("vid"))
+    partial = (scored
+               .groupBy(query_id_col, "_shard")
+               .agg(F.slice(F.sort_array(F.collect_list(key)), 1, k)
+                    .alias("_top")))
+    merged = (partial
+              .groupBy(query_id_col)
+              .agg(F.slice(F.sort_array(F.flatten(F.collect_list("_top"))),
+                           1, k).alias("_top")))
+    out = merged.select(
+        F.col(query_id_col),
+        F.posexplode("_top").alias("rank0", "_kv"))
+    return out.select(
+        query_id_col,
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+        F.col("_kv.vid").alias(id_col),
+        (-F.col("_kv.nsim")).alias("cos_sim"))

@@ -439,3 +439,27 @@ def test_duplicate_components_long_chain_converges(spark):
     comp = {(r["doc_id"], r["component"])
             for r in duplicate_components(pairs).collect()}
     assert comp == {(i, 100) for i in range(100, 113)}
+
+
+def test_cosine_topk_batch_matches_single_query(spark):
+    """The two-stage distributed batch top-k must equal per-query
+    cosine_topk (same rounded-sim ordering and tie-breaks)."""
+    import numpy as np
+    from defuddle_spark.ops.similarity import cosine_topk, cosine_topk_batch
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(qid, rows[qid * 7][1]) for qid in range(4)],
+        ["query_id", "query_embedding"])
+    batch = cosine_topk_batch(emb, queries, k=5, shards=8)
+    got = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos_sim"], 4))
+           for r in batch.collect()}
+    for qid in range(4):
+        single = cosine_topk(emb, rows[qid * 7][1], k=5).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == (r["vec_id"], round(r["cos_sim"], 4)), \
+                (qid, rank)
+    # exactly Q*k rows
+    assert len(got) == 4 * 5
