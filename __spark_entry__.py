@@ -216,6 +216,27 @@ def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("url", "content", "word_count")
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator at the gate
+    (applyInPandasWithState, spark/streaming.py dedup_exact_stream):
+    the doubled corpus is drained in one availableNow batch (single
+    input file, so per-hash min is global and deterministic) and the
+    sink must hold exactly the batch dedup_exact representative set —
+    first-seen doc per content hash. Cross-batch state suppression is
+    pinned separately in tests/test_streaming.py."""
+    import hashlib
+    import shutil
+    from defuddle_spark.spark.streaming import dedup_exact_stream
+    base = ("/tmp/defuddle_dedup_stream_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    _docs_doubled(spark, sf_dir).coalesce(1).write.parquet(inp)
+    q = dedup_exact_stream(spark, inp, outp, ckpt, available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(outp).select("text_md5", "doc_id")
+
+
 def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 markdown through the driver gate (internal/markdown/convert.go:
     13-23): eight construct families (doc_id % 8 — headings, emphasis,
@@ -617,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_debug": q_extract_debug,
         "extract_markdown": q_extract_markdown,
         "extract_stream": q_extract_stream,
+        "dedup_stream": q_dedup_stream,
         "extract_hackernews": q_extract_hackernews,
         "extract_github": q_extract_github,
         "extract_youtube": q_extract_youtube,
@@ -843,6 +865,12 @@ def oracle_sql() -> dict[str, str]:
                        || '" width="640" height="480"/>' AS content,
                    {_WC} AS word_count
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        "dedup_stream": f"""
+            SELECT md5(text) AS text_md5,
+                   CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM {_DOCS_DOUBLED_SQL}
+            GROUP BY md5(text)
         """,
         "extract_markdown": f"""
             -- K1: expected content_markdown per construct family

@@ -132,3 +132,62 @@ def sessionize_stream(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+_DEDUP_OUT_SCHEMA = "text_md5 string, doc_id bigint"
+_DEDUP_STATE_SCHEMA = "min_id bigint"
+
+
+def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                       checkpoint_dir: str,
+                       available_now: bool = True,
+                       max_files_per_trigger: Optional[int] = None):
+    """Streaming exact dedup: emit each content hash's FIRST-seen doc,
+    suppressing every later arrival — the incremental-ingest twin of
+    ops.dedup.dedup_exact, built on applyInPandasWithState (custom
+    per-key state in the state store, not a built-in windowed agg).
+
+    Per md5(text) group: the first micro-batch containing the hash emits
+    (text_md5, min doc_id in that batch) and records it in state; any
+    later batch's rows for the same hash emit nothing. At crawl scale
+    the state store holds one 16-byte-keyed row per distinct document —
+    the same cardinality the batch groupBy shuffles — and RocksDB-backed
+    state handles spill; exactly-once lands on the sink checkpoint.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def first_seen(key, pdfs, state):
+        import pandas as pd
+        best = None
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None or m < best else best
+        if state.exists:
+            return  # hash already emitted in an earlier batch: suppress
+        state.update((best,))
+        yield pd.DataFrame({"text_md5": [key[0]], "doc_id": [best]})
+
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+    out = (docs
+           .withColumn("text_md5", F.md5(F.encode(F.col("text"), "UTF-8")))
+           .groupBy("text_md5")
+           .applyInPandasWithState(
+               first_seen, _DEDUP_OUT_SCHEMA, _DEDUP_STATE_SCHEMA,
+               "append", GroupStateTimeout.NoTimeout))
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -89,3 +89,55 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     want = {tuple(r) for r in batch.collect()}
     assert len(want) > 10
     assert got == want
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """One availableNow drain over the doubled corpus must emit exactly
+    the batch dedup_exact representative set."""
+    from defuddle_spark.ops.dedup import dedup_exact
+    from defuddle_spark.spark.streaming import dedup_exact_stream
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    in_dir = str(tmp_path / "docs")
+    doubled.write.parquet(in_dir)
+
+    q = dedup_exact_stream(spark, in_dir, str(tmp_path / "out"),
+                           str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+
+    got = {r["doc_id"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {r["doc_id"] for r in dedup_exact(doubled).collect()}
+    assert got == want
+    assert max(got) < 10000  # every +10000 copy suppressed
+
+
+def test_streaming_dedup_suppresses_across_batches(spark, tmp_path):
+    """Cross-micro-batch suppression: a duplicate arriving in a LATER
+    batch (separate input file, maxFilesPerTrigger=1) must emit nothing
+    — the state store, not the in-batch groupBy, carries the memory."""
+    import pandas as pd
+    from defuddle_spark.spark.streaming import dedup_exact_stream
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["alpha text", "beta text"]}) \
+        .to_parquet(in_dir / "batch1.parquet")
+    q = dedup_exact_stream(spark, str(in_dir), str(tmp_path / "out"),
+                           str(tmp_path / "ckpt"), available_now=True,
+                           max_files_per_trigger=1)
+    q.awaitTermination(300)
+    # second file: one dup of doc 1 (higher id) + one new doc
+    pd.DataFrame({"doc_id": [7, 3], "text": ["alpha text", "gamma text"]}) \
+        .to_parquet(in_dir / "batch2.parquet")
+    q2 = dedup_exact_stream(spark, str(in_dir), str(tmp_path / "out"),
+                            str(tmp_path / "ckpt"), available_now=True,
+                            max_files_per_trigger=1)
+    q2.awaitTermination(300)
+
+    got = {r["doc_id"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1, 2, 3}  # doc 7 (late dup of 1) suppressed by state
