@@ -103,3 +103,60 @@ def test_tag_soup_extraction_never_raises(pieces):
     soup = "".join(pieces)
     r = extract_document(f"<html><body><article>{soup}</article></body></html>")
     assert r.error is None or isinstance(r.error, str)
+
+
+# -- round-4 paths: quirks doctypes, plaintext, noscript, select-in-table ----
+
+_r4_piece = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _soup_tags]),
+    st.sampled_from([f"</{t}>" for t in _soup_tags]),
+    st.sampled_from([
+        "<select>", "</select>", "<option>", "<optgroup>", "<caption>",
+        "<colgroup>", "<col>", "<noscript>", "</noscript>", "<center>",
+        "<listing>", "<xmp>", "</xmp>", "<summary>", "<dialog>",
+    ]),
+    st.text(alphabet="xy 1", min_size=1, max_size=3),
+)
+
+_r4_doctype = st.sampled_from([
+    "", "<!DOCTYPE html>",
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">',
+    '<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 3.2 Final//EN">',
+    "<!DOCTYPE foo>",
+])
+
+
+@given(_r4_doctype, st.lists(_r4_piece, max_size=22))
+@settings(max_examples=300, deadline=None)
+def test_round4_soup_converges_under_any_doctype(doctype, pieces):
+    # convergence must hold in BOTH quirks and standards mode, and with
+    # the round-4 elements (select/table interplay, rawtext noscript/xmp,
+    # new p-closers) in the soup. Reparses keep the same doctype so the
+    # quirks flag is stable across rounds.
+    cur = "".join(pieces)
+    seq = []
+    for _ in range(6):
+        cur = parse(f"{doctype}<html><body>{cur}</body></html>") \
+            .body.inner_html()
+        seq.append(cur)
+    assert seq[-1] == seq[-2]
+
+
+@given(st.lists(_r4_piece, max_size=22))
+@settings(max_examples=100, deadline=None)
+def test_round4_soup_extraction_never_raises(pieces):
+    soup = "".join(pieces)
+    r = extract_document(
+        f"<html><body><article>{soup}</article></body></html>")
+    assert r.error is None or isinstance(r.error, str)
+
+
+@given(st.lists(_r4_piece, max_size=14))
+@settings(max_examples=100, deadline=None)
+def test_plaintext_swallows_all_following_soup(pieces):
+    # everything after an inserted <plaintext> is one raw text node
+    tail = "".join(pieces)
+    d = parse(f"<!DOCTYPE html><body><plaintext>{tail}")
+    pt = next(e for e in d.body.descendants() if e.tag == "plaintext")
+    assert pt.text() == tail
+    assert not any(True for _ in pt.descendants())
