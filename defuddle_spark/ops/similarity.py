@@ -426,7 +426,8 @@ def cosine_topk_batch(embeddings: DataFrame, queries: DataFrame,
                       query_id_col: str = "query_id",
                       query_emb_col: str = "query_embedding",
                       round_digits: int = 4,
-                      shards: int = 64) -> DataFrame:
+                      shards: int = 64,
+                      max_queries: int = 10_000) -> DataFrame:
     """Exact top-k for a BATCH of query vectors in one corpus pass
     (the batch-serving baseline next to the single-query cosine_topk).
 
@@ -444,6 +445,16 @@ def cosine_topk_batch(embeddings: DataFrame, queries: DataFrame,
     BEFORE ranking on both the Spark and oracle side so tie-breaks are
     decided identically.
     """
+    # the query table is BROADCAST and every corpus row scores against
+    # every query, so it must be genuinely small — refuse early (eager
+    # bounded count, same pattern as cosine_neardup_pairs' max_vectors)
+    # rather than silently amplifying the corpus scan Q-fold
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"cosine_topk_batch broadcasts the query table and scores "
+            f"corpus x queries: over max_queries={max_queries} run the "
+            f"per-query index paths (lsh_topk / ivf_topk) or raise "
+            f"max_queries explicitly.")
     q = queries.select(
         F.col(query_id_col),
         F.transform(F.col(query_emb_col),

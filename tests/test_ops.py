@@ -463,3 +463,14 @@ def test_cosine_topk_batch_matches_single_query(spark):
                 (qid, rank)
     # exactly Q*k rows
     assert len(got) == 4 * 5
+
+
+def test_cosine_topk_batch_refuses_huge_query_table(spark):
+    from defuddle_spark.ops.similarity import cosine_topk_batch
+    import pytest as _pytest
+    emb = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    qs = spark.range(30).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("query_embedding"))
+    with _pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_batch(emb, qs, k=1, max_queries=10)
