@@ -31,6 +31,47 @@ _NN = "chr(10) || chr(10)"
 # f-string expressions cannot contain backslashes)
 _MD7_MID = ("\n\n---\n\nline one \\" + chr(10)
             + " line two\n\n![Figure ")
+
+# Shared recursive-closure CTE over the tripled corpus (dedup_clusters
+# computes components from it; dedup_survivors inverts it to the keep-set)
+_CLUSTERS_CTE = f"""WITH RECURSIVE
+            docs3 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 10000, text FROM documents
+                UNION ALL SELECT doc_id + 20000, text FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, sh FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(toks[i:i+2], ' ')
+                                   for i in range(1, len(toks) - 1)]) AS sh
+                    FROM (SELECT doc_id, {_TOKENS} AS toks FROM docs3)
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b USING (sh)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_common = sa.n AND n_common = sb.n
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM prs
+                UNION SELECT id_b, id_a FROM prs
+            ),
+            reach(node, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, reach.r FROM edges e
+                JOIN reach ON reach.node = e.d
+            )"""
 # SQL literal of ops.textstats.BPE_TOKEN_RE (apostrophes doubled)
 from defuddle_spark.ops.textstats import BPE_TOKEN_RE as _BPE_RE
 _BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
@@ -389,6 +430,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(pairs)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup collapse over the tripled corpus: candidate
+    pairs -> components -> anti-join the non-minimum members; the
+    surviving set is oracled against the recursive-closure SQL (same
+    CTE as dedup_clusters, inverted to the keep-set)."""
+    from defuddle_spark.ops.dedup import (dedup_survivors,
+                                          ngram_jaccard_pairs)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d3 = (d.unionByName(d.select((F.col("doc_id") + 10000).alias("doc_id"),
+                                 "text"))
+          .unionByName(d.select((F.col("doc_id") + 20000).alias("doc_id"),
+                                "text")))
+    pairs = ngram_jaccard_pairs(d3, threshold=1.0)
+    return dedup_survivors(d3, pairs)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.textstats import text_quality
     return text_quality(_docs(spark, sf_dir))
@@ -652,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -1141,46 +1199,19 @@ def oracle_sql() -> dict[str, str]:
             -- tripled corpus; threshold-1.0 jaccard pairs are exactly
             -- "equal distinct-shingle sets"; components via recursive
             -- transitive closure, labelled by their minimum id
-            WITH RECURSIVE
-            docs3 AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL SELECT doc_id + 10000, text FROM documents
-                UNION ALL SELECT doc_id + 20000, text FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id, sh FROM (
-                    SELECT doc_id,
-                           unnest([array_to_string(toks[i:i+2], ' ')
-                                   for i in range(1, len(toks) - 1)]) AS sh
-                    FROM (SELECT doc_id, {_TOKENS} AS toks FROM docs3)
-                )
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       count(*) AS n_common
-                FROM sh a JOIN sh b USING (sh)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            prs AS (
-                SELECT id_a, id_b FROM inter
-                JOIN sizes sa ON sa.doc_id = id_a
-                JOIN sizes sb ON sb.doc_id = id_b
-                WHERE n_common = sa.n AND n_common = sb.n
-            ),
-            edges AS (
-                SELECT id_a AS s, id_b AS d FROM prs
-                UNION SELECT id_b, id_a FROM prs
-            ),
-            reach(node, r) AS (
-                SELECT DISTINCT s, s FROM edges
-                UNION
-                SELECT e.s, reach.r FROM edges e
-                JOIN reach ON reach.node = e.d
-            )
+            {_CLUSTERS_CTE}
             SELECT node AS doc_id, min(r) AS component
             FROM reach GROUP BY node
+        """,
+        "dedup_survivors": f"""
+            -- the keep-set: component minima plus never-candidated docs
+            {_CLUSTERS_CTE},
+            comp AS (
+                SELECT node, min(r) AS component FROM reach GROUP BY node
+            )
+            SELECT doc_id FROM docs3
+            WHERE doc_id NOT IN (
+                SELECT node FROM comp WHERE node <> component)
         """,
         "text_quality": f"""
             SELECT doc_id,
