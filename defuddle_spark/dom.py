@@ -30,6 +30,11 @@ TEXT = 3
 ELEMENT = 1
 COMMENT = 8
 
+# The spec's "ASCII whitespace" (tab, LF, FF, CR, space) — parsing-mode
+# whitespace decisions must NOT use Python's default str.strip(), which
+# also treats U+00A0 and other Unicode spaces as whitespace.
+_SPEC_WS = " \t\n\r\f"
+
 VOID_ELEMENTS = frozenset({
     "area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr",
@@ -1418,7 +1423,7 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        if self._initial and data.strip():
+        if self._initial and data.strip(_SPEC_WS):
             self._initial = False  # non-whitespace text leaves initial
         if self.cdata_elem in self._RCDATA_ELEMENTS:
             data = _unescape(data)
@@ -1441,7 +1446,7 @@ class _TreeBuilder(HTMLParser):
         if not self.fragment and not self.body_started:
             cur = self._cur()
             if cur is self.head:
-                if data.strip():
+                if data.strip(_SPEC_WS):
                     self._start_body()
                 else:
                     return  # drop inter-head whitespace like x/net/html "before head"
@@ -1449,9 +1454,13 @@ class _TreeBuilder(HTMLParser):
         t = cur.tag
         if (self.afe or t in _TABLE_CTX) and t not in RAW_TEXT_ELEMENTS \
                 and not self._in_foreign_text():
-            if t in _TABLE_CTX and data.strip():
+            if t in _TABLE_CTX and data.strip(_SPEC_WS):
                 # Non-whitespace text in a table context is foster-parented
-                # (spec "in table text" anything-else branch).
+                # (spec "in table text" anything-else branch). The
+                # whitespace test is ASCII-ONLY (spec "ASCII whitespace"):
+                # Python's default strip() also strips U+00A0 etc., which
+                # would wrongly keep an &nbsp; spacer inside the table
+                # instead of fostering it like x/net/html does.
                 self._reconstruct_afe()
                 if self._needs_foster():
                     self._foster_parent(Text(data))

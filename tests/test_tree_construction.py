@@ -640,3 +640,15 @@ def test_noscript_is_rawtext_like_the_reference():
         "<p>real words here</p><noscript><p>fallback words</p></noscript>"
         "</article></body></html>")
     assert r.extracted_text == "real words here"
+
+
+def test_nbsp_is_not_spec_whitespace_in_tables():
+    # spec "ASCII whitespace" only: an \xa0 (&nbsp;) spacer in table
+    # context is NON-whitespace text and foster-parents out, while real
+    # ASCII spaces stay inside the table
+    assert parse("<!DOCTYPE html><table>\xa0<td>b</td></table>") \
+        .body.inner_html() == \
+        "\xa0<table><tbody><tr><td>b</td></tr></tbody></table>"
+    assert parse("<!DOCTYPE html><table>  <td>b</td></table>") \
+        .body.inner_html() == \
+        "<table>  <tbody><tr><td>b</td></tr></tbody></table>"
