@@ -726,8 +726,8 @@ class _TreeBuilder(HTMLParser):
         for c in self.body.children:
             if c.type == ELEMENT:
                 return False
-            if c.type == TEXT and c.data.strip():
-                return False
+            if c.type == TEXT and c.data.strip(_SPEC_WS):
+                return False  # non-ASCII-ws text (incl. nbsp) sets not-ok
         return True
 
     def _in_select(self):
