@@ -430,6 +430,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(pairs)
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style pipeline at the gate: exact-dedup the
+    doubled corpus (planted +10000 copies collapse), then quality-gate —
+    one lazy plan, zero Python. Oracled against the same composition in
+    SQL."""
+    from defuddle_spark.ops.corpus import filter_corpus
+    return filter_corpus(_docs_doubled(spark, sf_dir),
+                         min_quality=0.5, min_tokens=20)
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup collapse over the tripled corpus: candidate
     pairs -> components -> anti-join the non-minimum members; the
@@ -710,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "corpus_filter": q_corpus_filter,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -1212,6 +1223,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM docs3
             WHERE doc_id NOT IN (
                 SELECT node FROM comp WHERE node <> component)
+        """,
+        "corpus_filter": f"""
+            WITH kept AS (
+                SELECT min(doc_id) AS doc_id, text
+                FROM {_DOCS_DOUBLED_SQL}
+                GROUP BY md5(text), text
+            )
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+                   round(least(len({_TOKENS})::DOUBLE / 100.0, 1.0) * 0.5
+                         + least(len(list_filter({_TOKENS}, t -> list_contains([{stop}], lower(t))))::DOUBLE
+                                 / greatest(len({_TOKENS}), 1) * 5.0, 1.0) * 0.3
+                         + (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                                        / greatest(length(text), 1) * 10.0, 1.0)) * 0.2, 6) AS quality_score
+            FROM kept
+            WHERE round(least(len({_TOKENS})::DOUBLE / 100.0, 1.0) * 0.5
+                        + least(len(list_filter({_TOKENS}, t -> list_contains([{stop}], lower(t))))::DOUBLE
+                                / greatest(len({_TOKENS}), 1) * 5.0, 1.0) * 0.3
+                        + (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                                       / greatest(length(text), 1) * 10.0, 1.0)) * 0.2, 6) >= 0.5
+              AND len({_TOKENS}) >= 20
         """,
         "text_quality": f"""
             SELECT doc_id,

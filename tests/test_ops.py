@@ -474,3 +474,17 @@ def test_cosine_topk_batch_refuses_huge_query_table(spark):
         F.array(F.lit(1.0), F.lit(0.0)).alias("query_embedding"))
     with _pytest.raises(ValueError, match="max_queries"):
         cosine_topk_batch(emb, qs, k=1, max_queries=10)
+
+
+def test_filter_corpus_dedups_then_quality_gates(spark):
+    from defuddle_spark.ops.corpus import filter_corpus
+    good = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the field for a while longer today")  # 20 toks
+    rows = [(1, good), (2, good),            # dup: only id 1 survives
+            (3, "short text"),               # fails min_tokens
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"] for r in
+           filter_corpus(docs, min_quality=0.3, min_tokens=20).collect()}
+    assert 1 in out and 2 not in out and 3 not in out
+    assert 4 not in out  # all-digit doc: quality collapses
