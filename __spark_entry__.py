@@ -430,6 +430,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(pairs)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global frequency-ordered vocabulary (pre-tokenizer pipeline
+    step): explode + partial-agg counts, TakeOrderedAndProject top-k,
+    deterministic tie-break by token."""
+    from defuddle_spark.ops.textstats import vocab_topk
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed C4-style pipeline at the gate: exact-dedup the
     doubled corpus (planted +10000 copies collapse), then quality-gate —
@@ -721,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "corpus_filter": q_corpus_filter,
+        "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -1223,6 +1232,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM docs3
             WHERE doc_id NOT IN (
                 SELECT node FROM comp WHERE node <> component)
+        """,
+        "vocab_topk": f"""
+            WITH tok AS (
+                SELECT doc_id, lower(unnest({_TOKENS})) AS token
+                FROM documents
+            ),
+            counts AS (
+                SELECT token, count(*) AS n_occurrences,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM tok GROUP BY token
+            )
+            SELECT CAST(row_number() OVER (
+                       ORDER BY n_occurrences DESC, token) AS INTEGER) AS rank,
+                   token, n_occurrences, n_docs
+            FROM counts
+            ORDER BY n_occurrences DESC, token
+            LIMIT 50
         """,
         "corpus_filter": f"""
             WITH kept AS (

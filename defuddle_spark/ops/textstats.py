@@ -129,3 +129,34 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
     pred = F.when(n_cjk * 4 > F.length(F.col(text_col)), F.lit("zh")).otherwise(best)
     return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
+               text_col: str = "text",
+               lowercase: bool = True) -> DataFrame:
+    """Global vocabulary: the k most frequent whitespace tokens with
+    counts and corpus rank — (rank, token, n_occurrences, n_docs).
+
+    The classic pre-tokenizer pipeline step (frequency-ordered vocab /
+    stopword discovery). Scale shape: explode + two-level hash aggregate
+    — map-side partial counts collapse each partition's token
+    multiplicities before the shuffle, so the shuffle carries one row
+    per (partition, distinct token), and the final top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    full sort. Ties rank by token ascending, deterministically.
+    """
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    toks = docs.select(F.col(id_col).alias("_d"), tok)
+    if lowercase:
+        toks = toks.select("_d", F.lower(F.col("token")).alias("token"))
+    counts = (toks.groupBy("token")
+              .agg(F.count("*").alias("n_occurrences"),
+                   F.countDistinct("_d").alias("n_docs")))
+    top = (counts
+           .orderBy(F.desc("n_occurrences"), F.col("token"))
+           .limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("n_occurrences"), F.col("token"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "token", "n_occurrences", "n_docs")
