@@ -430,6 +430,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(pairs)
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean embedding (class prototypes) with DECIMAL component
+    sums, so the centroid bits are layout-independent and hash-checkable
+    (float-order means are not — the IVF lesson). Returned long-form
+    (group, n_vectors, pos, m) via posexplode so the driver compares
+    scalar cells; the array rebuild is exercised on the way."""
+    from defuddle_spark.ops.similarity import embedding_centroids
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("grp", (F.col("vec_id") % 4).cast("long")))
+    out = embedding_centroids(emb, "grp")
+    return out.select("grp", "n_vectors",
+                      F.posexplode("centroid").alias("pos", "m")) \
+              .select("grp", "n_vectors", F.col("pos").cast("int").alias("pos"), "m")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global frequency-ordered vocabulary (pre-tokenizer pipeline
     step): explode + partial-agg counts, TakeOrderedAndProject top-k,
@@ -730,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
+        "embedding_centroids": q_embedding_centroids,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
@@ -1232,6 +1248,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM docs3
             WHERE doc_id NOT IN (
                 SELECT node FROM comp WHERE node <> component)
+        """,
+        "embedding_centroids": """
+            -- parallel unnest advances value and index in lockstep;
+            -- decimal sums make the mean layout-independent on both sides
+            WITH ex AS (
+                SELECT vec_id % 4 AS grp,
+                       unnest(range(len(embedding))) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ),
+            comp AS (
+                SELECT grp, pos,
+                       sum(CAST(v AS DECIMAL(28,12))) AS s, count(*) AS n
+                FROM ex GROUP BY grp, pos
+            )
+            SELECT grp, CAST(n AS BIGINT) AS n_vectors,
+                   CAST(pos AS INTEGER) AS pos,
+                   round(CAST(s / n AS DOUBLE), 6) AS m
+            FROM comp
         """,
         "vocab_topk": f"""
             WITH tok AS (

@@ -496,3 +496,39 @@ def cosine_topk_batch(embeddings: DataFrame, queries: DataFrame,
         (F.col("rank0") + 1).cast("int").alias("rank"),
         F.col("_kv.vid").alias(id_col),
         (-F.col("_kv.nsim")).alias("cos_sim"))
+
+
+def embedding_centroids(embeddings: DataFrame, group_col: str,
+                        emb_col: str = "embedding",
+                        round_digits: int = 6) -> DataFrame:
+    """Per-group mean embedding: (group, n_vectors, centroid) — class
+    prototypes / cluster statistics over an embedding column.
+
+    Scale shape: posexplode to (group, pos, v) and hash-aggregate on
+    (group, pos) — map-side partial aggregation collapses each
+    partition's contribution to one row per (group, dim) before the
+    shuffle; the final per-group array rebuild moves dim rows per group.
+
+    Determinism: the component sums run in DECIMAL(28,12) (exact,
+    associative), so the centroid bits are IDENTICAL across cluster
+    layouts and partition counts — float summation order made
+    double-path means layout-dependent, which is why IVF's float
+    centroids must never be hash-compared (round-3 lesson) while these
+    may be.
+    """
+    ex = embeddings.select(
+        F.col(group_col),
+        F.posexplode(F.transform(
+            F.col(emb_col),
+            lambda x: x.cast("decimal(28,12)"))).alias("pos", "v"))
+    comp = (ex.groupBy(group_col, "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n")))
+    val = F.round((F.col("s") / F.col("n")).cast("double"), round_digits)
+    return (comp
+            .select(group_col, "pos", val.alias("m"), "n")
+            .groupBy(group_col)
+            .agg(F.max("n").cast("long").alias("n_vectors"),
+                 F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("_s"))
+            .select(group_col, "n_vectors",
+                    F.transform("_s", lambda kv: kv["m"]).alias("centroid")))

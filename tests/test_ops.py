@@ -488,3 +488,24 @@ def test_filter_corpus_dedups_then_quality_gates(spark):
            filter_corpus(docs, min_quality=0.3, min_tokens=20).collect()}
     assert 1 in out and 2 not in out and 3 not in out
     assert 4 not in out  # all-digit doc: quality collapses
+
+
+def test_embedding_centroids_layout_independent(spark):
+    """Decimal component sums: identical centroid BITS regardless of
+    partition layout (float-order means are not reproducible)."""
+    import numpy as np
+    from defuddle_spark.ops.similarity import embedding_centroids
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist()) for i in range(100)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("grp", F.col("vec_id") % 3)
+    a = {r["grp"]: (r["n_vectors"], tuple(r["centroid"]))
+         for r in embedding_centroids(emb, "grp").collect()}
+    b = {r["grp"]: (r["n_vectors"], tuple(r["centroid"]))
+         for r in embedding_centroids(emb.repartition(17), "grp").collect()}
+    assert a == b
+    # values match a numpy reference to 6 digits
+    want = np.mean([rows[i][1] for i in range(0, 100, 3)], axis=0)
+    got = a[0][1]
+    assert a[0][0] == 34
+    assert all(abs(g - w) < 1e-6 for g, w in zip(got, want))
