@@ -1186,6 +1186,25 @@ class _TreeBuilder(HTMLParser):
             else:
                 return  # parse error, ignore (includes col/colgroup)
 
+        # "In table" form / hidden-input special cases (spec 13.2.6.4.9;
+        # x/net/html inTableIM Form/Input): with a table-context current
+        # node, <form> is inserted and popped IMMEDIATELY (pointer still
+        # set, so a later <form> is ignored), and <input type=hidden>
+        # stays inside the table instead of foster-parenting.
+        if self._cur().tag in ("table", "tbody", "tfoot", "thead", "tr"):
+            if tag == "form":
+                if self.form_ptr is None and \
+                        not any(e.tag == "template" for e in self.stack):
+                    el = Element("form", self._plain_attrs(attrs))
+                    self._cur().append(el)
+                    self.form_ptr = el
+                return
+            if tag == "input" and any(
+                    k.lower() == "type" and (v or "").lower() == "hidden"
+                    for k, v in attrs):
+                self._cur().append(Element("input", self._plain_attrs(attrs)))
+                return
+
         # A second <form> while one is open is ignored (spec in-body form:
         # the form element pointer; x/net/html inBodyIM Form case).
         if tag == "form" and self.form_ptr is not None and \

@@ -652,3 +652,27 @@ def test_nbsp_is_not_spec_whitespace_in_tables():
     assert parse("<!DOCTYPE html><table>  <td>b</td></table>") \
         .body.inner_html() == \
         "<table>  <tbody><tr><td>b</td></tr></tbody></table>"
+
+
+IN_TABLE_FORM_CASES = [
+    # <form> in table context: inserted and popped immediately (pointer
+    # set — the second form is ignored); hidden inputs stay IN the table
+    ("<table><form><input type=hidden name=a></form><tr><td>x",
+     '<table><form></form><input type="hidden" name="a"/>'
+     "<tbody><tr><td>x</td></tr></tbody></table>"),
+    ("<table><input type=hidden name=a><tr><td>x",
+     '<table><input type="hidden" name="a"/>'
+     "<tbody><tr><td>x</td></tr></tbody></table>"),
+    # non-hidden inputs foster-parent like any other content
+    ("<table><input type=text name=b><tr><td>x",
+     '<input type="text" name="b"/>'
+     "<table><tbody><tr><td>x</td></tr></tbody></table>"),
+    ("<table><form a=1><form b=2><tr><td>x",
+     '<table><form a="1"></form>'
+     "<tbody><tr><td>x</td></tr></tbody></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", IN_TABLE_FORM_CASES)
+def test_in_table_form_and_hidden_input(src, want):
+    assert body_of(src) == want
