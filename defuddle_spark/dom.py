@@ -695,6 +695,8 @@ class _TreeBuilder(HTMLParser):
         # the spec's form element pointer: a second <form> start tag is
         # ignored while one is open (no template on the stack here)
         self.form_ptr: Optional[Element] = None
+        # spec EOF-in-rawtext: emit the tail (see _fast_tokenize)
+        self.keep_rawtext_tail = True
         # Quirks mode (spec 13.2.6.2): documents default to quirks until
         # a doctype says otherwise (a MISSING doctype is quirks — most of
         # the messy Common-Crawl tail); fragments parse no-quirks like
@@ -1605,7 +1607,15 @@ def _fast_tokenize(b: "_TreeBuilder", s: str) -> None:
         else:
             m = _cdata_close(cdata_elem).search(s, i)
             if m is None:
-                return  # EOF inside CDATA/RCDATA: the tail is dropped
+                # EOF inside CDATA/RCDATA. The spec (and x/net/html)
+                # EMITS the characters read so far — a truncated crawl
+                # page ending inside <style>/<textarea>/<title> keeps
+                # its tail. html.parser drops it, so the tree builder
+                # opts in via keep_rawtext_tail and the stdlib-parity
+                # recorder (without the flag) stays event-identical.
+                if i < n and getattr(b, "keep_rawtext_tail", False):
+                    handle_data(s[i:n])
+                return
             j = m.start()
             if i < j:
                 handle_data(s[i:j])

@@ -676,3 +676,19 @@ IN_TABLE_FORM_CASES = [
 @pytest.mark.parametrize("src,want", IN_TABLE_FORM_CASES)
 def test_in_table_form_and_hidden_input(src, want):
     assert body_of(src) == want
+
+
+def test_eof_inside_rawtext_keeps_the_tail():
+    # spec RAWTEXT/RCDATA EOF: emit the characters read so far — a
+    # truncated crawl page ending inside a text-only element keeps its
+    # tail (x/net/html behavior; html.parser would drop it)
+    assert parse("<!DOCTYPE html><body><textarea>tail here") \
+        .body.inner_html() == "<textarea>tail here</textarea>"
+    assert parse("<!DOCTYPE html><head><title>partial") \
+        .head.inner_html() == "<title>partial</title>"
+    assert parse("<!DOCTYPE html><body><style>.a{color:red") \
+        .body.inner_html() == "<style>.a{color:red</style>"
+    # RCDATA entity decoding still applies to the tail
+    d = parse("<!DOCTYPE html><body><textarea>a &amp; b")
+    ta = next(e for e in d.body.descendants() if e.tag == "textarea")
+    assert ta.text() == "a & b"
