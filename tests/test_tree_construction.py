@@ -692,3 +692,26 @@ def test_eof_inside_rawtext_keeps_the_tail():
     d = parse("<!DOCTYPE html><body><textarea>a &amp; b")
     ta = next(e for e in d.body.descendants() if e.tag == "textarea")
     assert ta.text() == "a & b"
+
+
+MORE_TABLE_CASES = [
+    # li closes work inside <menu> like ul/ol
+    ("<menu><li>a<li>b</menu>", "<menu><li>a</li><li>b</li></menu>"),
+    # a <table> START tag in-caption is "anything else" -> in-body ->
+    # a genuinely NESTED table inside the caption (x/net/html parity)
+    ("<table><caption>c<table><tr><td>x",
+     "<table><caption>c<table><tbody><tr><td>x</td></tr></tbody></table>"
+     "</caption></table>"),
+    # ...but a row token ends the caption and reprocesses in-table
+    ("<table><caption>c</caption><tr><td>x",
+     "<table><caption>c</caption><tbody><tr><td>x</td></tr></tbody>"
+     "</table>"),
+    ("<table><colgroup><col width=10><td>x",
+     '<table><colgroup><col width="10"/></colgroup>'
+     "<tbody><tr><td>x</td></tr></tbody></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", MORE_TABLE_CASES)
+def test_more_table_edges(src, want):
+    assert body_of(src) == want
