@@ -14,6 +14,8 @@ titles, metadata chains, and word counts against the real kernel output.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -245,7 +247,8 @@ def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.spark.pages import pages_only, synthesize_pages
     from defuddle_spark.spark.streaming import extract_pages_stream
     base = ("/tmp/defuddle_stream_gate_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            + f"_{os.getpid()}")
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     # fresh run each invocation; the sink must outlive this function (the
     # driver collects the returned frame lazily), so only pre-clean
@@ -269,7 +272,8 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from defuddle_spark.spark.streaming import dedup_exact_stream
     base = ("/tmp/defuddle_dedup_stream_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            + f"_{os.getpid()}")
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
     _docs_doubled(spark, sf_dir).coalesce(1).write.parquet(inp)
@@ -569,7 +573,8 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stable per-sf path: the returned frame is collected lazily by the
     # driver AFTER this function returns, so the files must outlive it
     path = ("/tmp/defuddle_ivf_index_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            + f"_{os.getpid()}")
     write_ivf_index(ivf_index(emb, cents), path)
     idx = spark.read.parquet(path)
     return ivf_topk(idx, cents, query, k=1, nprobe=2)

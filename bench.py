@@ -48,22 +48,24 @@ def main() -> None:
         except OSError:
             pass
 
-    # Single-core kernel probe FIRST (pure Python, before the JVM): the
-    # round-over-round kernel anchor. A full-width delta without a probe
-    # delta is neighbor load, not a regression (round-3 lesson — that
-    # adjudication needed an out-of-band probe; now it's in the artifact).
-    from tools.kernel_probe import run_probe
-    probe = run_probe(sf_dir, n_docs=500, reps=3, pin_core=0)
-
     # If the box is busy, WAIT (bounded) rather than time under load and
     # annotate afterwards: numbers that need external adjudication are
-    # the thing round 4 is removing.
+    # the thing round 4 is removing. The wait must come BEFORE the kernel
+    # probe — probing under load and benching after it drains would fake
+    # a kernel regression, the exact mis-adjudication the probe prevents.
     load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
     wait_budget = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "180"))
     waited = 0
     while os.getloadavg()[0] > load_gate and waited < wait_budget:
         time.sleep(10)
         waited += 10
+
+    # Single-core kernel probe (pure Python, before the JVM): the
+    # round-over-round kernel anchor. A full-width delta without a probe
+    # delta is neighbor load, not a regression (round-3 lesson — that
+    # adjudication needed an out-of-band probe; now it's in the artifact).
+    from tools.kernel_probe import run_probe
+    probe = run_probe(sf_dir, n_docs=500, reps=3, pin_core=0)
 
     spark = get_spark(cores=cpus, app_name="defuddle-bench")
     spark.sparkContext.setLogLevel("ERROR")

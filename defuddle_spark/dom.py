@@ -1376,6 +1376,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
+        self._initial = False  # any end tag leaves the initial mode too
         if tag == "br":
             # Spec in-body </br>: parse error; act as a <br> start tag.
             self.handle_starttag("br", [])
@@ -1634,7 +1635,11 @@ def _fast_tokenize(b: "_TreeBuilder", s: str) -> None:
             # character references, not even </plaintext>.
             if c in "pP" and k != -1 and s[i + 1:i + 10].lower() == "plaintext":
                 cur = getattr(b, "_cur", None)
-                if cur is not None and cur().tag == "plaintext":
+                # ... and only for an HTML plaintext: the in-body rule is
+                # what switches the tokenizer; a foreign-content (SVG/
+                # MathML) <plaintext> element must not swallow the doc
+                if cur is not None and cur().tag == "plaintext" \
+                        and not b.ns[-1]:
                     if k < n:
                         b.handle_data(s[k:n])
                     return

@@ -459,6 +459,7 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
               .distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_iters):
         # each node's next label: min over self-label and neighbors'
         neigh = (edges
@@ -475,9 +476,24 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
+        # release the previous round's checkpointed blocks: it is not
+        # referenced again, and keeping every round pinned accumulates
+        # O(rounds x nodes) storage (GraphFrames' CC deletes old
+        # checkpoints each round for the same reason)
+        labels.unpersist()
         labels = nxt
         if changed == 0:
             break
+    if changed != 0:
+        # no-silent-caps convention (same as hot_bucket_cap's warning):
+        # an unconverged result keeps intermediate labels and would make
+        # dedup_survivors retain duplicate members of one component
+        log.warning(
+            "duplicate_components: label propagation did NOT converge "
+            "within max_iters=%d (a component's graph diameter exceeds "
+            "it); results contain unmerged labels — raise max_iters",
+            max_iters)
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
 
@@ -492,7 +508,9 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
     component minimum and never-candidated docs survive.
     """
     comp = duplicate_components(pairs, max_iters=50)
-    losers = comp.filter(F.col("doc_id") != F.col("component")) \
-                 .select(id_col)
+    # components always come back as (doc_id, component); alias to the
+    # caller's id column so the anti-join works for any id_col
+    losers = (comp.filter(F.col("doc_id") != F.col("component"))
+              .select(F.col("doc_id").alias(id_col)))
     return (docs.select(id_col)
             .join(losers, id_col, "left_anti"))

@@ -30,7 +30,11 @@ def cosine_similarity_col(emb_col: str, query: Sequence[float]) -> F.Column:
     norm_e = F.sqrt(F.aggregate(F.transform(emb, lambda a: a * a),
                                 F.lit(0.0), lambda acc, x: acc + x))
     norm_q = float(math.sqrt(sum(float(x) * float(x) for x in query))) or 1.0
-    return dot / (norm_e * F.lit(norm_q))
+    # a zero-norm vector (empty document) has similarity 0, not a
+    # DIVIDE_BY_ZERO abort (Spark 4 runs ANSI mode by default) — and 0
+    # ranks last under the desc orderings, which is the right place
+    return F.when(norm_e != 0.0,
+                  dot / (norm_e * F.lit(norm_q))).otherwise(F.lit(0.0))
 
 
 def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
@@ -63,7 +67,9 @@ def _exact_pair_cosine(cand: DataFrame, embeddings: DataFrame,
                            F.col("_e").alias("_eb"), F.col("_n").alias("_nb")), "id_b"))
     dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    cos = F.round(dot / (F.col("_na") * F.col("_nb")), round_digits)
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.round(F.when(denom != 0.0, dot / denom).otherwise(F.lit(0.0)),
+                  round_digits)
     return (cand.select("id_a", "id_b", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
@@ -468,6 +474,11 @@ def cosine_topk_batch(embeddings: DataFrame, queries: DataFrame,
     e = e.withColumn("_n", F.sqrt(F.aggregate(
         F.transform("_e", lambda a: a * a), F.lit(0.0),
         lambda acc, x: acc + x)))
+    # zero-norm rows/queries cannot be neighbors and would abort the job
+    # under ANSI division; dropping them beats emitting null sims, which
+    # the ascending struct sort would rank FIRST
+    e = e.filter(F.col("_n") != 0.0)
+    q = q.filter(F.col("_qn") != 0.0)
     scored = e.join(F.broadcast(q))
     dot = F.aggregate(F.zip_with("_e", "_q", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)

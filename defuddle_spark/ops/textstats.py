@@ -145,7 +145,7 @@ def vocab_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
     TakeOrderedAndProject (per-partition heap + driver merge), never a
     full sort. Ties rank by token ascending, deterministically.
     """
-    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    tok = F.explode(_tokens(text_col)).alias("token")
     toks = docs.select(F.col(id_col).alias("_d"), tok)
     if lowercase:
         toks = toks.select("_d", F.lower(F.col("token")).alias("token"))

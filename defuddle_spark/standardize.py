@@ -151,7 +151,13 @@ def standardize_footnotes(element: Element) -> None:
 
 def _convert_paragraph_divs(container: Element) -> None:
     for div in find_all(container, 'div[role="paragraph"]'):
-        div.retag("p")
+        # NOT retag(): the fragment reparse is load-bearing here — a
+        # div[role=paragraph] may hold block children, and reparsing
+        # "<p>" + inner + "</p>" applies the p-closing rules (splitting
+        # the blocks out) exactly like the reference's goquery
+        # ReplaceWithHtml; direct child-move would build p-in-p trees
+        # the parser can never produce.
+        div.replace_with_html("<p>" + div.inner_html() + "</p>")
 
 
 def _transform_list_element(el: Element, doc: Document) -> Optional[Element]:

@@ -509,3 +509,20 @@ def test_embedding_centroids_layout_independent(spark):
     got = a[0][1]
     assert a[0][0] == 34
     assert all(abs(g - w) < 1e-6 for g, w in zip(got, want))
+
+
+def test_zero_norm_vectors_never_abort_similarity(spark):
+    """ANSI mode divide-by-zero hardening: empty documents produce
+    all-zero embeddings; they rank last / drop out, never crash."""
+    from defuddle_spark.ops.similarity import cosine_topk, cosine_topk_batch
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        ["vec_id", "embedding"])
+    single = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in single] == [0, 1, 2]  # zero vec last
+    qs = spark.createDataFrame([(9, [1.0, 0.0]), (8, [0.0, 0.0])],
+                               ["query_id", "query_embedding"])
+    batch = cosine_topk_batch(emb, qs, k=3, shards=2).collect()
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in batch}
+    # zero-norm corpus row dropped; zero-norm query dropped entirely
+    assert got == {(9, 1): 0, (9, 2): 1}

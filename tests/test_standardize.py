@@ -182,3 +182,17 @@ def test_transform_list_item_without_content_untouched():
     got = _transform_list_item_element(item)
     assert got.tag == "div"
     assert got.text() == "Plain item"
+
+
+def test_paragraph_div_with_block_children_splits_like_reference():
+    """div[role=paragraph] conversion must go through the fragment
+    reparse: block children split OUT of the new <p> (p-closing rules),
+    exactly like goquery ReplaceWithHtml — never p-in-p trees."""
+    from defuddle_spark.dom import parse
+    from defuddle_spark.standardize import standardize_content
+
+    doc = parse('<html><body><article><div role="paragraph">a<p>b</p>'
+                "</div></article></body></html>")
+    article = next(e for e in doc.body.descendants() if e.tag == "article")
+    standardize_content(article, "", doc)
+    assert "<p>a<p>" not in article.inner_html()

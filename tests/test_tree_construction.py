@@ -715,3 +715,20 @@ MORE_TABLE_CASES = [
 @pytest.mark.parametrize("src,want", MORE_TABLE_CASES)
 def test_more_table_edges(src, want):
     assert body_of(src) == want
+
+
+def test_foreign_plaintext_does_not_switch_tokenizer():
+    # the PLAINTEXT switch is an in-body HTML rule; an SVG <plaintext>
+    # foreign element must not swallow the rest of the document
+    d = parse("<!DOCTYPE html><body><svg><plaintext>x</plaintext></svg>"
+              "<p>words</p>")
+    assert d.body.inner_html() == \
+        "<svg><plaintext>x</plaintext></svg><p>words</p>"
+
+
+def test_late_doctype_after_end_tag_is_ignored():
+    # an end tag leaves the initial mode, so a doctype after it cannot
+    # flip the document out of quirks (table stays nested in the p)
+    assert parse("</div><!DOCTYPE html><p>1<table><td>x") \
+        .body.inner_html() == \
+        "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"
