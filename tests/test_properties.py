@@ -160,3 +160,25 @@ def test_plaintext_swallows_all_following_soup(pieces):
     pt = next(e for e in d.body.descendants() if e.tag == "plaintext")
     assert pt.text() == tail
     assert not any(True for _ in pt.descendants())
+
+
+def test_truncated_real_pages_never_raise_and_converge():
+    """Common-Crawl reality: pages cut off mid-byte anywhere. Extraction
+    must never raise, and the parse of any prefix must converge under
+    reserialization (exercises EOF-in-rawtext, EOF-in-tag, EOF-in-attr)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.kernel_probe import build_pages
+
+    pages = build_pages("/root/testdata/sf0.001", 3)
+    for _, html in pages:
+        text = html.decode("utf-8")
+        step = max(1, len(text) // 40)
+        for cut in range(1, len(text), step):
+            prefix = text[:cut]
+            r = extract_document(prefix, url="https://t.test/x")
+            assert r is not None
+            one = parse(prefix).body.inner_html()
+            two = parse(f"<html><body>{one}</body></html>").body.inner_html()
+            three = parse(f"<html><body>{two}</body></html>").body.inner_html()
+            assert two == three, cut
