@@ -732,3 +732,25 @@ def test_late_doctype_after_end_tag_is_ignored():
     assert parse("</div><!DOCTYPE html><p>1<table><td>x") \
         .body.inner_html() == \
         "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"
+
+
+CLASSIC_ADOPTION_CASES = [
+    # tests1.dat classics (x/net/html outputs)
+    ("<b><p></b>TEST", "<b></b><p><b></b>TEST</p>"),
+    ("<font><p>hello<b>cruel</font>world",
+     "<font></font><p><font>hello<b>cruel</b></font><b>world</b></p>"),
+    ("<h1><h2>x", "<h1></h1><h2>x</h2>"),
+    ("<a><p>X<a>Y</a>Z</p></a>", "<a></a><p><a>X</a><a>Y</a>Z</p>"),
+    # button is a scope marker: the outer <b> reconstructs inside it
+    ("<b><button>foo</b>bar", "<b></b><button><b>foo</b>bar</button>"),
+    ("<p><b>foo</p>bar", "<p><b>foo</b></p><b>bar</b>"),
+    ("<b>a<i>b<p>c</i>d", "<b>a<i>b</i><p><i>c</i>d</p></b>"),
+    # formatting + paragraph fostered out of a table together
+    ("<table><a>1<p>2</a>3</p>",
+     "<a>1</a><p><a>2</a>3</p><table></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", CLASSIC_ADOPTION_CASES)
+def test_classic_adoption_cases(src, want):
+    assert body_of(src) == want
