@@ -282,6 +282,31 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("text_md5", "doc_id")
 
 
+def q_minhash_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-LSH at the gate: the doubled corpus drains
+    through the stateful banding (row-local bit-identical signatures →
+    applyInPandasWithState buckets) and the planted (i, i+10000)
+    identical-text pairs are guaranteed recovered — same deterministic
+    construction as the batch minhash_lsh_planted oracle. Exact batch
+    equality of the full candidate set is pinned by differential test
+    (tests/test_streaming.py)."""
+    import hashlib
+    import shutil
+    from defuddle_spark.spark.streaming import minhash_lsh_stream
+    base = ("/tmp/defuddle_mhlsh_stream_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            + f"_{os.getpid()}")
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    _docs_doubled(spark, sf_dir).write.parquet(inp)
+    q = minhash_lsh_stream(spark, inp, outp, ckpt, available_now=True)
+    q.awaitTermination()
+    return (spark.read.parquet(outp)
+            .filter((F.col("id_b") - F.col("id_a") == 10000)
+                    & (F.col("id_a") < 10000))
+            .select("id_a", "id_b").distinct())
+
+
 def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 markdown through the driver gate (internal/markdown/convert.go:
     13-23): eight construct families (doc_id % 8 — headings, emphasis,
@@ -734,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markdown": q_extract_markdown,
         "extract_stream": q_extract_stream,
         "dedup_stream": q_dedup_stream,
+        "minhash_lsh_stream": q_minhash_lsh_stream,
         "extract_hackernews": q_extract_hackernews,
         "extract_github": q_extract_github,
         "extract_youtube": q_extract_youtube,
@@ -964,6 +990,9 @@ def oracle_sql() -> dict[str, str]:
                        || '" width="640" height="480"/>' AS content,
                    {_WC} AS word_count
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        "minhash_lsh_stream": """
+            SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
         """,
         "dedup_stream": f"""
             SELECT md5(text) AS text_md5,

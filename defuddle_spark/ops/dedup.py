@@ -514,3 +514,41 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
               .select(F.col("doc_id").alias(id_col)))
     return (docs.select(id_col)
             .join(losers, id_col, "left_anti"))
+
+
+def minhash_signature_col(text_col: str = "text", num_perm: int = 64,
+                          shingle_k: int = 3) -> F.Column:
+    """ROW-LOCAL minhash signature expression — bit-identical to
+    minhash_signatures' explode+groupBy-min values (same xxhash64/pmod
+    universal-hash construction, exact integer arithmetic), but computed
+    per row with array higher-order functions instead of a shuffle.
+
+    The batch path stays the explode+aggregate (codegen + map-side
+    combine beats interpreted HOFs at batch volume — see
+    minhash_signatures); this expression exists for STREAMING, where
+    per-row locality is the right shape (no shuffle before the stateful
+    banding stage)."""
+    sh = F.array_distinct(_token_shingles(text_col, shingle_k))
+    h1 = F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
+                                          F.lit(2305843009213693951)))
+    h2 = F.transform(sh, lambda s: F.pmod(F.xxhash64(s, F.lit(1)),
+                                          F.lit(2147483647)))
+    return F.array(*[
+        F.array_min(F.zip_with(
+            h1, h2, lambda a, b: a + F.lit(i).cast("long") * b))
+        for i in range(num_perm)
+    ])
+
+
+def band_hash_col(sig_col: str = "sig", num_perm: int = 64,
+                  bands: int = 16) -> F.Column:
+    """Array of per-band hashes over a signature column — the same
+    xxhash64(concat_ws(",", rows)) construction the batch banding uses,
+    so streaming and batch bucket keys are identical."""
+    rows_per_band = num_perm // bands
+    return F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", *[F.col(sig_col)[b * rows_per_band + r].cast("string")
+                   for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])

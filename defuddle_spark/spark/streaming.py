@@ -191,3 +191,83 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
+                       checkpoint_dir: str, num_perm: int = 64,
+                       bands: int = 16, shingle_k: int = 3,
+                       hot_bucket_cap: int = 1000,
+                       available_now: bool = True,
+                       max_files_per_trigger: Optional[int] = None):
+    """Streaming MinHash-LSH near-dup candidates: incremental-ingest
+    twin of ops.dedup.minhash_lsh_candidates.
+
+    Per document (row-local, no shuffle before the stateful stage): the
+    bit-identical minhash signature and band hashes are computed with
+    array expressions (minhash_signature_col / band_hash_col); rows then
+    group by (band, band_hash) into applyInPandasWithState, whose state
+    is the bucket's member list — each NEW member emits one (id_a, id_b)
+    candidate against every EXISTING member, across micro-batches.
+
+    Hot-bucket semantics differ from batch BY NECESSITY: batch drops an
+    over-cap bucket wholesale, but a stream cannot retract already
+    emitted pairs, so a bucket saturates at ``hot_bucket_cap`` members
+    and emits nothing further (state stays bounded at cap ids/bucket).
+    Under the cap the emitted pair set (distinct across bands) equals
+    the batch candidate set exactly — pinned by differential test.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from defuddle_spark.ops.dedup import band_hash_col, minhash_signature_col
+
+    def emit_pairs(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            members, saturated = list(state.get[0]), bool(state.get[1])
+        else:
+            members, saturated = [], False
+        known = set(members)
+        out_a, out_b = [], []
+        for pdf in pdfs:
+            for x in pdf["doc_id"]:
+                nid = int(x)
+                if nid in known:
+                    continue
+                if saturated or len(members) >= hot_bucket_cap:
+                    saturated = True
+                    break
+                for m in members:
+                    out_a.append(min(m, nid))
+                    out_b.append(max(m, nid))
+                members.append(nid)
+                known.add(nid)
+        state.update((members, saturated))
+        if out_a:
+            yield pd.DataFrame({"band": [int(key[0])] * len(out_a),
+                                "id_a": out_a, "id_b": out_b})
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+    banded = (docs
+              .select("doc_id",
+                      minhash_signature_col("text", num_perm, shingle_k)
+                      .alias("sig"))
+              .select("doc_id",
+                      F.posexplode(band_hash_col("sig", num_perm, bands))
+                      .alias("band", "band_hash")))
+    out = (banded
+           .groupBy("band", "band_hash")
+           .applyInPandasWithState(
+               emit_pairs, "band int, id_a bigint, id_b bigint",
+               "members array<bigint>, saturated boolean",
+               "append", GroupStateTimeout.NoTimeout))
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -141,3 +141,59 @@ def test_streaming_dedup_suppresses_across_batches(spark, tmp_path):
     got = {r["doc_id"]
            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1, 2, 3}  # doc 7 (late dup of 1) suppressed by state
+
+
+def test_streaming_minhash_lsh_matches_batch_candidates(spark, tmp_path):
+    """One availableNow drain over the doubled corpus: the distinct
+    streamed pair set must equal the batch LSH candidate set (no bucket
+    near the cap in this corpus, so the saturation divergence is moot)."""
+    from defuddle_spark.ops.dedup import minhash_lsh_candidates
+    from defuddle_spark.spark.streaming import minhash_lsh_stream
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").limit(150))
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    in_dir = str(tmp_path / "docs")
+    doubled.write.parquet(in_dir)
+
+    q = minhash_lsh_stream(spark, in_dir, str(tmp_path / "out"),
+                           str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(300)
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in
+            minhash_lsh_candidates(doubled, log_dropped=False).collect()}
+    assert got == want
+    assert all((i, i + 10000) in got
+               for i in {r["doc_id"] for r in docs.collect()})
+
+
+def test_streaming_minhash_pairs_across_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch pairs against the
+    state-stored earlier member."""
+    import pandas as pd
+    from defuddle_spark.spark.streaming import minhash_lsh_stream
+
+    t = ("the quick brown fox jumps over the lazy dog near the river "
+         "bank and beyond the far hills")
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": [t]}) \
+        .to_parquet(in_dir / "b1.parquet")
+    q = minhash_lsh_stream(spark, str(in_dir), str(tmp_path / "out"),
+                           str(tmp_path / "ckpt"), available_now=True,
+                           max_files_per_trigger=1)
+    q.awaitTermination(300)
+    pd.DataFrame({"doc_id": [2], "text": [t]}) \
+        .to_parquet(in_dir / "b2.parquet")
+    q2 = minhash_lsh_stream(spark, str(in_dir), str(tmp_path / "out"),
+                            str(tmp_path / "ckpt"), available_now=True,
+                            max_files_per_trigger=1)
+    q2.awaitTermination(300)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}  # paired across batches, once per band -> distinct
+    assert out.count() == 16  # all 16 bands collide for identical texts
