@@ -298,7 +298,17 @@ def q_minhash_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             + f"_{os.getpid()}")
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
-    _docs_doubled(spark, sf_dir).write.parquet(inp)
+    # bounded planted subset (docs 0-99 + their copies): the row-local
+    # signature is interpreted (HOFs never enter codegen), so the gate
+    # corpus stays small and the input is SPREAD — a 1-2 file source
+    # would compute all signatures on 1-2 cores (the streaming analogue
+    # of ops.dedup._ensure_parallel). Full-corpus batch equality is
+    # pinned by tests/test_streaming.py.
+    par = spark.sparkContext.defaultParallelism
+    (_docs_doubled(spark, sf_dir)
+     .filter((F.col("doc_id") % 10000) < 100)
+     .repartition(par)
+     .write.parquet(inp))
     q = minhash_lsh_stream(spark, inp, outp, ckpt, available_now=True)
     q.awaitTermination()
     return (spark.read.parquet(outp)
@@ -992,7 +1002,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 3 = 0
         """,
         "minhash_lsh_stream": """
-            SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
+            SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+            FROM documents WHERE doc_id < 100
         """,
         "dedup_stream": f"""
             SELECT md5(text) AS text_md5,
