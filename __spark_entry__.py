@@ -79,6 +79,34 @@ from defuddle_spark.ops.textstats import BPE_TOKEN_RE as _BPE_RE
 _BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
 
 
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-process gate scratch dir under /tmp (the returned frames are
+    collected lazily AFTER the query function returns, so the files must
+    outlive it — hence no TemporaryDirectory). The pid suffix isolates
+    concurrent drivers; to keep /tmp bounded across rounds, siblings
+    whose owning pid is DEAD are reaped here (live runs untouched)."""
+    import glob
+    import hashlib
+    import shutil
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/{prefix}_{h}_{os.getpid()}"
+    for d in glob.glob(f"/tmp/{prefix}_*"):
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
 def _pages(spark: SparkSession, sf_dir: str):
     from defuddle_spark.spark.pages import synthesize_pages
     return synthesize_pages(spark, sf_dir)
@@ -242,17 +270,10 @@ def q_extract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed parquet sink, and the SINK's contents are returned —
     oracled byte-identically like the batch extract_semantic query (the
     streaming plan shares every operator with the batch plan)."""
-    import hashlib
-    import shutil
     from defuddle_spark.spark.pages import pages_only, synthesize_pages
     from defuddle_spark.spark.streaming import extract_pages_stream
-    base = ("/tmp/defuddle_stream_gate_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-            + f"_{os.getpid()}")
+    base = _scratch_dir("defuddle_stream_gate", sf_dir)
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    # fresh run each invocation; the sink must outlive this function (the
-    # driver collects the returned frame lazily), so only pre-clean
-    shutil.rmtree(base, ignore_errors=True)
     pages = synthesize_pages(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
     pages_only(pages).write.parquet(inp)
     q = extract_pages_stream(spark, inp, outp, ckpt, available_now=True)
@@ -268,14 +289,9 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink must hold exactly the batch dedup_exact representative set —
     first-seen doc per content hash. Cross-batch state suppression is
     pinned separately in tests/test_streaming.py."""
-    import hashlib
-    import shutil
     from defuddle_spark.spark.streaming import dedup_exact_stream
-    base = ("/tmp/defuddle_dedup_stream_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-            + f"_{os.getpid()}")
+    base = _scratch_dir("defuddle_dedup_stream", sf_dir)
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
     _docs_doubled(spark, sf_dir).coalesce(1).write.parquet(inp)
     q = dedup_exact_stream(spark, inp, outp, ckpt, available_now=True)
     q.awaitTermination()
@@ -290,14 +306,9 @@ def q_minhash_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as the batch minhash_lsh_planted oracle. Exact batch
     equality of the full candidate set is pinned by differential test
     (tests/test_streaming.py)."""
-    import hashlib
-    import shutil
     from defuddle_spark.spark.streaming import minhash_lsh_stream
-    base = ("/tmp/defuddle_mhlsh_stream_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-            + f"_{os.getpid()}")
+    base = _scratch_dir("defuddle_mhlsh_stream", sf_dir)
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
     # bounded planted subset (docs 0-99 + their copies): the row-local
     # signature is interpreted (HOFs never enter codegen), so the gate
     # corpus stays small and the input is SPREAD — a 1-2 file source
@@ -597,7 +608,6 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query IS vector 0's embedding, so its own list is by definition
     the L2-closest centroid (probe #1) and vector 0 comes back at
     cos_sim exactly 1.0 (corpus max off-diagonal cosine ~0.51)."""
-    import hashlib
     from defuddle_spark.ops.similarity import (
         ivf_index, ivf_topk, ivf_train, write_ivf_index)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -605,11 +615,7 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
              for x in emb.filter(F.col("vec_id") == 0).select("embedding")
              .head()[0]]
     cents = ivf_train(emb, n_lists=8, iters=1)
-    # stable per-sf path: the returned frame is collected lazily by the
-    # driver AFTER this function returns, so the files must outlive it
-    path = ("/tmp/defuddle_ivf_index_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-            + f"_{os.getpid()}")
+    path = _scratch_dir("defuddle_ivf_index", sf_dir)
     write_ivf_index(ivf_index(emb, cents), path)
     idx = spark.read.parquet(path)
     return ivf_topk(idx, cents, query, k=1, nprobe=2)

@@ -211,7 +211,6 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     materializes the persisted signature frame the result plan reuses; pass
     log_dropped=False for a fully lazy builder (see _drop_hot_buckets).
     """
-    rows_per_band = num_perm // bands
     # Persisted: the banding scans, the self-join sides, and the two
     # signature re-attach joins all read it (AQE's runtime broadcast
     # choices defeat exchange reuse, measured in round 1). The banded frame
@@ -220,14 +219,13 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     # pressure) measured slower than recomputing it per scan.
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k).persist()
     _register_cached(sigs, cache)
+    # band keys come from the SAME band_hash_col construction the
+    # streaming path uses — one definition, so the pinned streaming ==
+    # batch bucket-key identity cannot drift
     banded = sigs.select(
         id_col,
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(
-                ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                       for r in range(rows_per_band)]))
-            for b in range(bands)
-        ])).alias("band", "band_hash"),
+        F.posexplode(band_hash_col("sig", num_perm, bands))
+        .alias("band", "band_hash"),
     )
     banded = _drop_hot_buckets(banded, ["band", "band_hash"], hot_bucket_cap,
                                "minhash_lsh_candidates", log_dropped)
@@ -476,11 +474,13 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
                    .limit(1).count())
-        # release the previous round's checkpointed blocks: it is not
-        # referenced again, and keeping every round pinned accumulates
-        # O(rounds x nodes) storage (GraphFrames' CC deletes old
-        # checkpoints each round for the same reason)
-        labels.unpersist()
+        # Release the previous round: Dataset.unpersist() is a NO-OP for
+        # localCheckpointed frames (the RDD is persisted at the RDD
+        # level, not via the CacheManager), so the actual reclamation
+        # path is reference-dropping — rebinding `labels` releases the
+        # only handle, the py4j wrapper is collected, and the JVM
+        # ContextCleaner unpersists the orphaned checkpoint RDD. Storage
+        # is therefore bounded by GC latency, not O(rounds).
         labels = nxt
         if changed == 0:
             break
@@ -493,7 +493,8 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
             "within max_iters=%d (a component's graph diameter exceeds "
             "it); results contain unmerged labels — raise max_iters",
             max_iters)
-    edges.unpersist()
+    # edges' checkpoint is likewise reclaimed by the ContextCleaner when
+    # this frame goes out of scope (unpersist() would be a no-op)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
 

@@ -30,11 +30,12 @@ def cosine_similarity_col(emb_col: str, query: Sequence[float]) -> F.Column:
     norm_e = F.sqrt(F.aggregate(F.transform(emb, lambda a: a * a),
                                 F.lit(0.0), lambda acc, x: acc + x))
     norm_q = float(math.sqrt(sum(float(x) * float(x) for x in query))) or 1.0
-    # a zero-norm vector (empty document) has similarity 0, not a
-    # DIVIDE_BY_ZERO abort (Spark 4 runs ANSI mode by default) — and 0
-    # ranks last under the desc orderings, which is the right place
-    return F.when(norm_e != 0.0,
-                  dot / (norm_e * F.lit(norm_q))).otherwise(F.lit(0.0))
+    # a zero-norm vector (empty document) has UNDEFINED similarity: NULL,
+    # not a DIVIDE_BY_ZERO abort (Spark 4 runs ANSI mode by default).
+    # NULL ranks truly last under desc (Spark desc = nulls last) — a 0.0
+    # sentinel would outrank genuinely negative cosines — and threshold
+    # filters drop it naturally, matching cosine_topk_batch's drop.
+    return F.when(norm_e != 0.0, dot / (norm_e * F.lit(norm_q)))
 
 
 def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
@@ -68,8 +69,8 @@ def _exact_pair_cosine(cand: DataFrame, embeddings: DataFrame,
     dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     denom = F.col("_na") * F.col("_nb")
-    cos = F.round(F.when(denom != 0.0, dot / denom).otherwise(F.lit(0.0)),
-                  round_digits)
+    # NULL for zero-norm pairs: the >= threshold filter drops them
+    cos = F.round(F.when(denom != 0.0, dot / denom), round_digits)
     return (cand.select("id_a", "id_b", cos.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 

@@ -520,6 +520,12 @@ def test_zero_norm_vectors_never_abort_similarity(spark):
         ["vec_id", "embedding"])
     single = cosine_topk(emb, [1.0, 0.0], k=3).collect()
     assert [r["vec_id"] for r in single] == [0, 1, 2]  # zero vec last
+    assert single[-1]["cos_sim"] is None  # undefined, ranks after ALL
+    # reals — including negative cosines (desc puts nulls last)
+    neg = spark.createDataFrame(
+        [(0, [-1.0, 0.0]), (9, [0.0, 0.0])], ["vec_id", "embedding"])
+    assert [r["vec_id"] for r in
+            cosine_topk(neg, [1.0, 0.0], k=2).collect()] == [0, 9]
     qs = spark.createDataFrame([(9, [1.0, 0.0]), (8, [0.0, 0.0])],
                                ["query_id", "query_embedding"])
     batch = cosine_topk_batch(emb, qs, k=3, shards=2).collect()

@@ -196,3 +196,24 @@ def test_paragraph_div_with_block_children_splits_like_reference():
     article = next(e for e in doc.body.descendants() if e.tag == "article")
     standardize_content(article, "", doc)
     assert "<p>a<p>" not in article.inner_html()
+
+
+def test_nested_paragraph_divs_stage_semantics():
+    """Nested div[role=paragraph]: Rule 1's snapshot iteration leaves
+    the reparse-reintroduced inner div unconverted (goquery stale-
+    selection parity — the detached old subtree absorbs the second
+    ReplaceWithHtml), and the flatten stage then converts it, so the
+    composite pipeline yields two clean paragraphs."""
+    from defuddle_spark import standardize as S
+    from defuddle_spark.dom import parse
+
+    doc = parse('<html><body><article><div role="paragraph">a'
+                '<div role="paragraph">b</div></div></article>'
+                "</body></html>")
+    art = next(e for e in doc.body.descendants() if e.tag == "article")
+    S.standardize_elements(art, doc)
+    assert art.inner_html() == \
+        '<p>a</p><div role="paragraph">b</div><p></p>'
+    S.flatten_wrapper_elements(art)
+    S.remove_empty_elements(art)
+    assert art.inner_html() == "<p>a</p><p>b</p>"

@@ -150,12 +150,15 @@ def test_streaming_minhash_lsh_matches_batch_candidates(spark, tmp_path):
     from defuddle_spark.ops.dedup import minhash_lsh_candidates
     from defuddle_spark.spark.streaming import minhash_lsh_stream
 
+    # deterministic subset (limit() may pick different rows per action);
+    # the MATERIALIZED input parquet is the single source for both sides
     docs = (spark.read.parquet(f"{SF}/documents.parquet")
-            .select("doc_id", "text").limit(150))
+            .select("doc_id", "text").filter(F.col("doc_id") < 150))
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
     in_dir = str(tmp_path / "docs")
     doubled.write.parquet(in_dir)
+    staged = spark.read.parquet(in_dir)
 
     q = minhash_lsh_stream(spark, in_dir, str(tmp_path / "out"),
                            str(tmp_path / "ckpt"), available_now=True)
@@ -164,7 +167,7 @@ def test_streaming_minhash_lsh_matches_batch_candidates(spark, tmp_path):
     got = {(r["id_a"], r["id_b"]) for r in
            spark.read.parquet(str(tmp_path / "out")).collect()}
     want = {(r["id_a"], r["id_b"]) for r in
-            minhash_lsh_candidates(doubled, log_dropped=False).collect()}
+            minhash_lsh_candidates(staged, log_dropped=False).collect()}
     assert got == want
     assert all((i, i + 10000) in got
                for i in {r["doc_id"] for r in docs.collect()})
