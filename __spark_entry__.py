@@ -495,6 +495,18 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("grp", "n_vectors", F.col("pos").cast("int").alias("pos"), "m")
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (language rebalancing): the
+    keep-decision is a pure md5 function of the id, so the exact split
+    is engine-independent and DuckDB recomputes it row-for-row — the
+    reproducibility property rand(seed)-based sampling lacks."""
+    from defuddle_spark.ops.corpus import stratified_hash_sample
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.1, "fr": 0.25}, "lang",
+        default_rate=0.05).select("doc_id", "lang")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global frequency-ordered vocabulary (pre-tokenizer pipeline
     step): explode + partial-agg counts, TakeOrderedAndProject top-k,
@@ -792,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
+        "corpus_sample": q_corpus_sample,
         "embedding_centroids": q_embedding_centroids,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
@@ -1318,6 +1331,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pos AS INTEGER) AS pos,
                    round(CAST(s / n AS DOUBLE), 6) AS m
             FROM comp
+        """,
+        "corpus_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000
+                  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 1000
+                              WHEN 'fr' THEN 2500 ELSE 500 END
         """,
         "vocab_topk": f"""
             WITH tok AS (

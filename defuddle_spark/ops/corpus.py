@@ -35,3 +35,41 @@ def filter_corpus(docs: DataFrame, min_quality: float = 0.5,
     return (q.filter((F.col("quality_score") >= min_quality)
                      & (F.col("n_tokens") >= min_tokens))
             .select(id_col, "n_tokens", "quality_score"))
+
+
+def hash_sample(docs: DataFrame, rate: float, id_col: str = "doc_id",
+                buckets: int = 10_000, salt: str = "") -> DataFrame:
+    """Deterministic content-addressed sampling: keep a doc iff its
+    md5-bucket falls under ``rate`` — the reproducible train/holdout
+    split every training-data pipeline needs.
+
+    Unlike ``df.sample`` (rand(seed) is partition-order dependent, so
+    reruns and layout changes pick different rows), the decision is a
+    pure function of the id: stable across runs, cluster layouts, and
+    engines — the same split can be recomputed in any system that has
+    md5. One codegen projection + filter, no shuffle, fully
+    pushdown-friendly.
+    """
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("long") % buckets
+    return docs.filter(bucket < int(rate * buckets))
+
+
+def stratified_hash_sample(docs: DataFrame, rates: dict,
+                           strata_col: str, id_col: str = "doc_id",
+                           buckets: int = 10_000,
+                           default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    downsample dominant languages, keep the tail): ``rates`` maps
+    stratum value -> keep-rate; unlisted strata use ``default_rate``.
+    Same content-addressed determinism as hash_sample, expressed as one
+    CASE over the strata column — still a single codegen filter."""
+    bucket = F.conv(F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
+        .cast("long") % buckets
+    threshold = F.lit(int(default_rate * buckets))
+    for value, rate in rates.items():
+        threshold = F.when(F.col(strata_col) == value,
+                           F.lit(int(rate * buckets))).otherwise(threshold)
+    return docs.filter(bucket < threshold)

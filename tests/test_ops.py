@@ -532,3 +532,21 @@ def test_zero_norm_vectors_never_abort_similarity(spark):
     got = {(r["query_id"], r["rank"]): r["vec_id"] for r in batch}
     # zero-norm corpus row dropped; zero-norm query dropped entirely
     assert got == {(9, 1): 0, (9, 2): 1}
+
+
+def test_hash_sample_is_layout_stable_and_exact(spark):
+    from defuddle_spark.ops.corpus import hash_sample, stratified_hash_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in
+         hash_sample(docs.repartition(13), 0.3).collect()}
+    assert a == b  # pure function of id: layout-independent
+    assert 0.2 < len(a) / 500 < 0.4
+    # salt produces a DIFFERENT (still deterministic) split
+    c = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="v2").collect()}
+    assert c != a
+    # stratified: per-language rates honored
+    st = stratified_hash_sample(docs, {"en": 1.0}, "lang",
+                                default_rate=0.0)
+    langs = {r["lang"] for r in st.select("lang").distinct().collect()}
+    assert langs == {"en"}
