@@ -108,7 +108,8 @@ _ATOMS = [
     "</script>", "<title>", "</title>", "<textarea>", "</textarea>", "/",
     " ", "\n", "\t", "<b x='", "'>", "<b x=\"", "\">", "</",
     "<!doctype html>", "e", "1", "-", "<![if ie]>", "<![endif]>",
-    "<![weird[", "<b / >",
+    "<![weird[", "<b / >", "<noscript>", "</noscript>", "<xmp>", "</xmp>",
+    "<plaintext>", "<iframe>", "</iframe>",
 ]
 
 
