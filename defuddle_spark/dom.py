@@ -1106,18 +1106,28 @@ class _TreeBuilder(HTMLParser):
         if tag == "image":
             tag = "img"  # spec in-body: <image> is retagged to <img>
         if not self.fragment:
+            # an open <template> hosts its own content (spec "template
+            # contents"): html/head/body tokens are ignored inside it,
+            # and non-head elements must NOT imply the body (which would
+            # reset the stack and leak template content into the body —
+            # the head-template bug this guard fixes)
+            in_template = any(e.tag == "template" for e in self.stack)
             if tag == "html":
+                if in_template:
+                    return
                 for k, v in attrs:
                     if not self.html.has_attr(k):
                         self.html.set_attr(k, v or "")
                 return
             if tag == "head":
+                if in_template:
+                    return
                 for k, v in attrs:
                     if not self.head.has_attr(k):
                         self.head.set_attr(k, v or "")
                 return
             if tag == "body":
-                if self.frameset_doc:
+                if self.frameset_doc or in_template:
                     return
                 self._start_body()
                 for k, v in attrs:
@@ -1125,6 +1135,8 @@ class _TreeBuilder(HTMLParser):
                         self.body.set_attr(k, v or "")
                 return
             if tag == "frameset":
+                if in_template:
+                    return
                 cur = self._cur()
                 if cur.tag == "frameset":  # in-frameset: nest
                     el = Element("frameset", self._plain_attrs(attrs))
@@ -1151,7 +1163,8 @@ class _TreeBuilder(HTMLParser):
             if self.frameset_doc and tag != "noframes" and (
                     self._cur().tag == "frameset" or self._cur() is self.html):
                 return  # in-frameset / after-frameset: anything else ignored
-            if not self.body_started and tag not in HEAD_ELEMENTS:
+            if not self.body_started and tag not in HEAD_ELEMENTS \
+                    and not in_template:
                 self._start_body()
 
         # "In select" rules (spec 13.2.6.4.16; x/net/html inSelectIM):

@@ -754,3 +754,18 @@ CLASSIC_ADOPTION_CASES = [
 @pytest.mark.parametrize("src,want", CLASSIC_ADOPTION_CASES)
 def test_classic_adoption_cases(src, want):
     assert body_of(src) == want
+
+
+def test_template_in_head_hosts_its_content():
+    # template contents stay inside the template — non-head elements in
+    # a HEAD template must not imply <body> and leak out of it; body/
+    # html/frameset tokens inside a template are ignored
+    d = parse("<!DOCTYPE html><head><template><p>t</p><div>d</div>"
+              "</template></head><body>x")
+    assert d.head.inner_html() == \
+        "<template><p>t</p><div>d</div></template>"
+    assert d.body.inner_html() == "x"
+    d2 = parse("<!DOCTYPE html><head><template>a<body>b</body>"
+               "</template></head>y")
+    assert d2.head.inner_html() == "<template>ab</template>"
+    assert d2.body.inner_html() == "y"
