@@ -769,3 +769,20 @@ def test_template_in_head_hosts_its_content():
                "</template></head>y")
     assert d2.head.inner_html() == "<template>ab</template>"
     assert d2.body.inner_html() == "y"
+
+
+MISC_BODY_CASES = [
+    # in-body <option>: a new option closes an open one (outside select)
+    ("<option>a<option>b", "<option>a</option><option>b</option>"),
+    ("<optgroup>a<option>b</optgroup>c",
+     "<optgroup>a<option>b</option></optgroup>c"),
+    ("<details><summary>s</summary>body</details>",
+     "<details><summary>s</summary>body</details>"),
+    ("<figure><figcaption>c</figcaption><img src=i></figure>",
+     '<figure><figcaption>c</figcaption><img src="i"/></figure>'),
+]
+
+
+@pytest.mark.parametrize("src,want", MISC_BODY_CASES)
+def test_misc_in_body_cases(src, want):
+    assert body_of(src) == want
