@@ -33,6 +33,18 @@ _NN = "chr(10) || chr(10)"
 # f-string expressions cannot contain backslashes)
 _MD7_MID = ("\n\n---\n\nline one \\" + chr(10)
             + " line two\n\n![Figure ")
+# family-8 tail: remaining flattened table cells (reference default:
+# ConvertString registers no table plugin -> cells become blocks)
+_MD8_TAIL = "\n\n7\n\nbeta\n\n9\n\n"
+# family-9 head/tail: smart-escaping bytes as produced by _escape_chars /
+# _escape_line_starts (precomputed: backslashes not allowed in f-string
+# expressions). The unescaped `!` before `\[` is deliberate: brackets are
+# escaped before the bang rule runs, so `![` is already neutralized.
+_MD9_HEAD = ("flank \\*x\\* and 2 * 3 stay snake_case keeps \\_emph\\_ ok"
+             "\n\n\\# lead\n\n\\- dash\n\n1\\. num\n\n\\> quo"
+             "\n\ntick \\`code\\` see \\[ref ")
+_MD9_TAIL = ("\\] a\\|b \\~\\~x\\~\\~ go!\\[now \\<div C:\\\\dir inside"
+             "\n\n")
 
 # Shared recursive-closure CTE over the tripled corpus (dedup_clusters
 # computes components from it; dedup_survivors inverts it to the keep-set)
@@ -330,10 +342,16 @@ def q_minhash_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 markdown through the driver gate (internal/markdown/convert.go:
-    13-23): eight construct families (doc_id % 8 — headings, emphasis,
-    ul, ol, link-with-title, code span + fence, blockquote, hr/br/image)
-    whose converted markdown is a fixed shape around the document text,
-    hash-asserted byte-identically against DuckDB string construction."""
+    13-23): ten construct families (doc_id % 10 — headings, emphasis,
+    ul, ol, link-with-title, code span + fence, blockquote, hr/br/image,
+    table cell-flattening, and smart-escaping) whose converted markdown is
+    a fixed shape around the document text, hash-asserted byte-identically
+    against DuckDB string construction. Family 8 pins the reference
+    default's table behavior (ConvertString registers base+commonmark
+    only — no table plugin — so cells flatten to blocks); family 9 pins
+    the escape rules' exact bytes (``*`` flanking, ``_`` word-boundary,
+    line-start ``#``/``-``/``N.``/``>``, brackets/pipe/tilde-run/
+    backtick/backslash/``<``)."""
     from defuddle_spark.spark.pages import synthesize_markdown_pages
     from defuddle_spark.spark.pipeline import extract_pages
     pages = synthesize_markdown_pages(spark, sf_dir)
@@ -1032,14 +1050,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_markdown": f"""
             -- K1: expected content_markdown per construct family
-            -- (doc_id % 8), byte-identical to the converter's output on
+            -- (doc_id % 10), byte-identical to the converter's output on
             -- the standardized content. word_count adds the per-family
             -- fixed construct-word overhead (block texts concatenate
             -- without separators, so boundary words merge — a structural
-            -- constant per family).
+            -- constant per family). Family 8 pins the reference default's
+            -- table CELL-FLATTENING (no table plugin registered,
+            -- convert.go:13-23); family 9 pins the smart-escaping bytes.
             SELECT 'https://md.example.test/' || lang || '/' || source || '/'
                        || CAST(doc_id AS VARCHAR) AS url,
-                   CASE doc_id % 8
+                   CASE doc_id % 10
                      WHEN 0 THEN '## Section ' || {_DID} || {_NN} || text
                          || {_sql_str(chr(10) * 2 + "### Detail ")} || {_DID}
                          || {_sql_str(chr(10) * 2 + "closing words here")}
@@ -1054,14 +1074,19 @@ def oracle_sql() -> dict[str, str]:
                          || {_sql_str("```python" + chr(10) + "print(")} || {_DID}
                          || {_sql_str(")" + chr(10) + "```" + chr(10) * 2)} || text
                      WHEN 6 THEN '> quoted ' || {_DID} || ' words' || {_NN} || text
-                     ELSE 'before ' || {_DID}
+                     WHEN 7 THEN 'before ' || {_DID}
                          || {_sql_str(_MD7_MID)}
                          || {_DID} || '](https://img.example.test/' || {_DID}
                          || '.png)' || {_NN} || text
+                     WHEN 8 THEN 'Name' || {_NN} || 'Count' || {_NN} || 'alpha '
+                         || {_DID} || {_sql_str(_MD8_TAIL)} || text
+                     ELSE {_sql_str(_MD9_HEAD)}
+                         || {_DID} || {_sql_str(_MD9_TAIL)} || text
                    END AS content_markdown,
-                   CAST(len({_TOKENS}) + CASE doc_id % 8
+                   CAST(len({_TOKENS}) + CASE doc_id % 10
                      WHEN 0 THEN 4 WHEN 1 THEN 6 WHEN 2 THEN 1 WHEN 3 THEN 1
-                     WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 2 ELSE 4
+                     WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 2 WHEN 7 THEN 4
+                     WHEN 8 THEN 1 ELSE 24
                    END AS INTEGER) AS word_count
             FROM documents
         """,

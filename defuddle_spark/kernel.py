@@ -69,6 +69,10 @@ class Options:
     remove_images: bool = False
     markdown: bool = False
     separate_markdown: bool = False
+    # Engine extension (not in types.go): render GFM pipe tables instead
+    # of the reference default's cell-flattening (ConvertString registers
+    # only base+commonmark — no table plugin, convert.go:13-23).
+    markdown_pipe_tables: bool = False
     debug: bool = False
     # Optional element processors (E1-E6). The reference defines these
     # options but its Parse never consults them (SPECS/40 "Explicit Gap
@@ -548,7 +552,8 @@ def _maybe_markdown(result: Result, options: Options) -> None:
         return
     from .markdown import MarkdownError, convert_html
     try:
-        result.content_markdown = convert_html(result.content)
+        result.content_markdown = convert_html(
+            result.content, pipe_tables=options.markdown_pipe_tables)
     except (MarkdownError, RecursionError):
         result.content_markdown = None
 

@@ -8,6 +8,13 @@ targets that library's publicly documented CommonMark output conventions:
 - ATX headings, ``**``/``*`` emphasis (nested → ``***``), ``- `` bullets,
   ``1. `` ordered items (honouring ``start=``), ``> `` blockquotes,
   ``---`` thematic breaks, fenced code with the ``language-*`` class.
+- Tables: ``ConvertString`` registers only the base + commonmark plugins
+  (convert.go:13-23 → v2's one-liner API; the ``plugin/table`` GFM plugin
+  is NOT registered), so table elements have no renderer and fall back to
+  the base plugin's unknown-element handling: table/section/row/cell tags
+  act as plain block containers and each cell's content flattens to its
+  own blank-line-separated block. That cell-flattening is our DEFAULT;
+  GFM pipe tables remain available behind ``pipe_tables=True``.
 - Smart escaping: markdown-significant characters in text are
   backslash-escaped only where they could be re-parsed as markup —
   ``*`` only when flanking a word, ``_`` only at word boundaries
@@ -208,7 +215,15 @@ def _inline_text(el, depth: int) -> str:
     return re.sub(r" {2,}", " ", "".join(parts))
 
 
-def _render_blocks(el, depth: int, out: List[str]) -> None:
+# Table-family tags that act as plain block containers when the GFM
+# table plugin is absent (the reference's default — see module docstring).
+_TABLE_CONTAINER_TAGS = frozenset({
+    "thead", "tbody", "tfoot", "tr", "td", "th", "caption", "colgroup",
+})
+
+
+def _render_blocks(el, depth: int, out: List[str],
+                   pipe_tables: bool = False) -> None:
     if depth > MAX_DEPTH:
         raise MarkdownError("maximum nesting depth exceeded")
     inline_buf: List[str] = []
@@ -240,13 +255,14 @@ def _render_blocks(el, depth: int, out: List[str]) -> None:
                 out.append(_escape_line_starts(text))
         elif tag in ("ul", "ol"):
             flush_inline()
-            lst = _render_list(child, depth + 1, indent="")
+            lst = _render_list(child, depth + 1, indent="",
+                               pipe_tables=pipe_tables)
             if lst:
                 out.append(lst)
         elif tag == "blockquote":
             flush_inline()
             sub: List[str] = []
-            _render_blocks(child, depth + 1, sub)
+            _render_blocks(child, depth + 1, sub, pipe_tables)
             quoted = "\n\n".join(sub)
             out.append("\n".join("> " + line if line else ">"
                                  for line in quoted.splitlines()) or "> ")
@@ -272,15 +288,24 @@ def _render_blocks(el, depth: int, out: List[str]) -> None:
             out.append("---")
         elif tag == "table":
             flush_inline()
-            md = _render_table(child, depth + 1)
-            if md:
-                out.append(md)
+            if pipe_tables:
+                md = _render_table(child, depth + 1)
+                if md:
+                    out.append(md)
+            else:
+                # Reference default: no table renderer registered → the
+                # table acts as a block container and cells flatten to
+                # their own blocks (module docstring).
+                _render_blocks(child, depth + 1, out, pipe_tables)
         elif tag in ("div", "section", "article", "main", "aside", "header",
                      "footer", "nav", "figure", "details", "body", "html",
                      "figcaption", "summary", "form", "fieldset"):
             # container: recurse as block context
             flush_inline()
-            _render_blocks(child, depth + 1, out)
+            _render_blocks(child, depth + 1, out, pipe_tables)
+        elif tag in _TABLE_CONTAINER_TAGS and not pipe_tables:
+            flush_inline()
+            _render_blocks(child, depth + 1, out, pipe_tables)
         elif tag in ("script", "style", "template"):
             flush_inline()
         else:
@@ -304,7 +329,8 @@ _LI_BLOCK_TAGS = frozenset({
 })
 
 
-def _render_list(lst: Element, depth: int, indent: str) -> str:
+def _render_list(lst: Element, depth: int, indent: str,
+                 pipe_tables: bool = False) -> str:
     ordered = lst.tag == "ol"
     lines: List[str] = []
     try:
@@ -332,7 +358,8 @@ def _render_list(lst: Element, depth: int, indent: str) -> str:
         for c in li.children:
             if c.type == ELEMENT and c.tag in ("ul", "ol"):
                 _flush()
-                sub = _render_list(c, depth + 1, indent + "    ")
+                sub = _render_list(c, depth + 1, indent + "    ",
+                                   pipe_tables=pipe_tables)
                 if sub:
                     blocks.append(("list", sub))
             elif c.type == ELEMENT and c.tag == "p":
@@ -346,7 +373,7 @@ def _render_list(lst: Element, depth: int, indent: str) -> str:
                 holder.children = [c]
                 sub_blocks: List[str] = []
                 try:
-                    _render_blocks(holder, depth + 1, sub_blocks)
+                    _render_blocks(holder, depth + 1, sub_blocks, pipe_tables)
                 finally:
                     holder.children = []
                 blocks.extend(("inline", b) for b in sub_blocks if b)
@@ -387,13 +414,19 @@ def _render_table(table: Element, depth: int) -> str:
     return "\n".join(lines)
 
 
-def convert_html(html_content: str) -> str:
-    """convert.go:13-23 — convert, trim, collapse triple newlines."""
+def convert_html(html_content: str, pipe_tables: bool = False) -> str:
+    """convert.go:13-23 — convert, trim, collapse triple newlines.
+
+    ``pipe_tables=False`` (default) matches the reference's
+    ``ConvertString`` (base + commonmark only — no table plugin): table
+    cells flatten to blank-line-separated blocks. ``pipe_tables=True``
+    renders GFM pipe tables instead (the ``plugin/table`` behavior).
+    """
     if not html_content:
         return ""
     doc = parse(html_content)
     out: List[str] = []
-    _render_blocks(doc.body, 0, out)
+    _render_blocks(doc.body, 0, out, pipe_tables)
     md = "\n\n".join(p for p in out if p)
     md = md.strip()
     while "\n\n\n" in md:

@@ -630,9 +630,13 @@ def synthesize_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages whose extracted content's MARKDOWN is SQL-predictable (K1,
     /root/reference/internal/markdown/convert.go:13-23, convert_test.go).
 
-    Eight construct families keyed by doc_id % 8 — headings, emphasis
+    Ten construct families keyed by doc_id % 10 — headings, emphasis
     (incl. *** nesting), unordered list, ordered list, link-with-title,
-    inline code + fenced code, blockquote, and hr/hard-break/image —
+    inline code + fenced code, blockquote, hr/hard-break/image, table
+    (cell-flattening: ConvertString registers no table plugin, so cells
+    become blank-line-separated blocks), and smart-escaping (adversarial
+    ``*``/``_``/line-start/``[``/`` | ``/``~~``/backtick/backslash text
+    whose escaped bytes are asserted) —
     each an <article> whose h1 is dropped by the title-match rule and
     whose remaining constructs convert to a fixed markdown shape around
     the document's text. Construct words are fixed strings (plus doc_id
@@ -649,7 +653,7 @@ def synthesize_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = F.concat(F.lit("https://md.example.test/"), F.col("lang"),
                    F.lit("/"), F.col("source"), F.lit("/"), did)
     title = F.concat(F.lit("Doc "), did)
-    fam = F.col("doc_id") % 8
+    fam = F.col("doc_id") % 10
     construct = (
         F.when(fam == 0, F.concat(
             F.lit("<h2>Section "), did, F.lit("</h2><p>"), F.col("text"),
@@ -678,11 +682,22 @@ def synthesize_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<blockquote><p>quoted "), did,
             F.lit(" words</p></blockquote><p>"), F.col("text"),
             F.lit("</p>")))
-        .otherwise(F.concat(
+        .when(fam == 7, F.concat(
             F.lit("<p>before "), did,
             F.lit("</p><hr><p>line one<br>line two</p>"
                   '<p><img src="https://img.example.test/'), did,
             F.lit('.png" alt="Figure '), did, F.lit('"></p><p>'),
+            F.col("text"), F.lit("</p>")))
+        .when(fam == 8, F.concat(
+            F.lit("<table><thead><tr><th>Name</th><th>Count</th></tr>"
+                  "</thead><tbody><tr><td>alpha "), did,
+            F.lit("</td><td>7</td></tr><tr><td>beta</td><td>9</td></tr>"
+                  "</tbody></table><p>"), F.col("text"), F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<p>flank *x* and 2 * 3 stay snake_case keeps _emph_ ok</p>"
+                  "<p># lead</p><p>- dash</p><p>1. num</p><p>&gt; quo</p>"
+                  "<p>tick `code` see [ref "), did,
+            F.lit("] a|b ~~x~~ go![now &lt;div C:\\dir inside</p><p>"),
             F.col("text"), F.lit("</p>"))))
     html_str = F.concat(
         F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"><title>'),

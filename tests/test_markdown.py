@@ -201,3 +201,46 @@ def test_gate_construct_families_through_full_kernel():
         r = extract_document(html, url=f"https://md.example.test/{did}",
                              options=Options(markdown=True))
         assert r.content_markdown == want, construct
+
+
+def test_table_cells_flatten_by_default():
+    """ConvertString registers base+commonmark only (convert.go:13-23) —
+    no table plugin — so table elements fall back to block-container
+    rendering: each cell's content becomes its own block."""
+    h = ('<table><thead><tr><th>Name</th><th>Count</th></tr></thead>'
+         '<tbody><tr><td>alpha</td><td>7</td></tr></tbody></table>')
+    assert convert_html(h) == "Name\n\nCount\n\nalpha\n\n7"
+    # block content inside a cell renders as blocks too
+    assert convert_html(
+        "<table><tr><td><p>para</p><ul><li>x</li></ul></td></tr></table>"
+    ) == "para\n\n- x"
+    # caption participates in document order
+    assert convert_html(
+        "<table><caption>Cap</caption><tr><td>v</td></tr></table>"
+    ) == "Cap\n\nv"
+
+
+def test_table_pipe_rendering_behind_option():
+    h = ('<table><tr><th>Name</th><th>Count</th></tr>'
+         '<tr><td>alpha</td><td>7</td></tr></table>')
+    assert convert_html(h, pipe_tables=True) == \
+        "| Name | Count |\n| --- | --- |\n| alpha | 7 |"
+    # threads through list-item table blocks as well
+    h2 = "<ul><li>item<table><tr><td>cell</td></tr></table></li></ul>"
+    assert convert_html(h2, pipe_tables=True) == \
+        "- item\n\n    | cell |\n    | --- |"
+    assert convert_html(h2) == "- item\n\n    cell"
+
+
+def test_kernel_markdown_pipe_tables_option():
+    from defuddle_spark.kernel import Options, extract_document
+
+    body = "word " * 60
+    html = ('<!DOCTYPE html><html><head><title>T</title></head><body>'
+            f'<article><p>{body}</p><table><tr><td>a</td><td>b</td></tr>'
+            '</table></article></body></html>')
+    flat = extract_document(html, options=Options(markdown=True))
+    piped = extract_document(
+        html, options=Options(markdown=True, markdown_pipe_tables=True))
+    assert "a\n\nb" in flat.content_markdown
+    assert "| a | b |" in piped.content_markdown
