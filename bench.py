@@ -42,11 +42,15 @@ def main() -> None:
     # otherwise overflows onto whichever cores are free — the
     # cluster-equiv harness already pins; round-4 brings the main bench
     # in line).
+    pinned = None
     if hasattr(os, "sched_setaffinity"):
         try:
             os.sched_setaffinity(0, set(range(cpus)))
+            pinned = cpus
         except OSError:
-            pass
+            # a silently unpinned run must not be LABELED pinned in the
+            # artifact — pinned_cores stays null
+            pinned = None
 
     # If the box is busy, WAIT (bounded) rather than time under load and
     # annotate afterwards: numbers that need external adjudication are
@@ -144,7 +148,7 @@ def main() -> None:
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
         "load_wait_s": waited,
-        "pinned_cores": cpus if hasattr(os, "sched_setaffinity") else None,
+        "pinned_cores": pinned,
         **probe,
     }))
     spark.stop()

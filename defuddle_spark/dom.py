@@ -137,9 +137,16 @@ _QUIRKY_SYSTEM_EXACT = \
     "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"
 
 _DOCTYPE_RE = re.compile(r"doctype\s*([^\s>]*)\s*(.*)$", re.I | re.S)
+# Spec 13.2.6.2 tokenizer states, including their force-quirks asymmetry:
+# junk AFTER a well-formed system identifier is an
+# unexpected-character-after-doctype-system-identifier parse error that
+# does NOT set force-quirks (the bogus-DOCTYPE state just eats it), so
+# both identifier-complete alternatives end in `.*`; junk after a
+# public-id-only clause (missing-quote-before-doctype-system-identifier)
+# DOES force quirks, which the quote-or-end alternation preserves.
 _PUBLIC_RE = re.compile(
-    r"public\s*([\"'])(.*?)\1\s*(?:([\"'])(.*?)\3)?\s*$", re.I | re.S)
-_SYSTEM_RE = re.compile(r"system\s*([\"'])(.*?)\1\s*$", re.I | re.S)
+    r"public\s*([\"'])(.*?)\1(?:\s*$|\s*([\"'])(.*?)\3.*$)", re.I | re.S)
+_SYSTEM_RE = re.compile(r"system\s*([\"'])(.*?)\1.*$", re.I | re.S)
 
 
 def _doctype_is_quirky(decl: str) -> bool:

@@ -59,17 +59,25 @@ def hash_sample(docs: DataFrame, rate: float, id_col: str = "doc_id",
 def stratified_hash_sample(docs: DataFrame, rates: dict,
                            strata_col: str, id_col: str = "doc_id",
                            buckets: int = 10_000,
-                           default_rate: float = 0.0) -> DataFrame:
+                           default_rate: float = 0.0,
+                           salt: str = "") -> DataFrame:
     """Per-stratum deterministic sampling (e.g. language rebalancing:
     downsample dominant languages, keep the tail): ``rates`` maps
     stratum value -> keep-rate; unlisted strata use ``default_rate``.
-    Same content-addressed determinism as hash_sample, expressed as one
-    CASE over the strata column — still a single codegen filter."""
+    Same content-addressed determinism (and the same ``salt`` semantics
+    — different salts draw INDEPENDENT splits over the same ids) as
+    hash_sample. The per-stratum threshold is a map-literal lookup, not
+    a chained CASE, so the expression stays flat however many strata the
+    caller rebalances — still a single codegen filter."""
     bucket = F.conv(F.substring(
-        F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10) \
-        .cast("long") % buckets
-    threshold = F.lit(int(default_rate * buckets))
-    for value, rate in rates.items():
-        threshold = F.when(F.col(strata_col) == value,
-                           F.lit(int(rate * buckets))).otherwise(threshold)
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        1, 8), 16, 10).cast("long") % buckets
+    default = F.lit(int(default_rate * buckets))
+    if rates:
+        rate_map = F.create_map(*[
+            lit for value, rate in rates.items()
+            for lit in (F.lit(value), F.lit(int(rate * buckets)))])
+        threshold = F.coalesce(rate_map.getItem(F.col(strata_col)), default)
+    else:
+        threshold = default
     return docs.filter(bucket < threshold)

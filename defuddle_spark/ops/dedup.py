@@ -250,11 +250,26 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6,
+                        max_docs: int = 1_000_000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (ground truth / oracle variant).
 
     (id_a, id_b, jaccard) for distinct-shingle Jaccard >= threshold.
+
+    HARD-BOUNDED by ``max_docs`` (checked EAGERLY at call time, same
+    convention as cosine_neardup_pairs): the shingle self-join is
+    all-pairs within shared shingles and is only sane on oracle-scale
+    corpora; over the bound a ValueError points at
+    minhash_lsh_candidates (the bucketed scale path) instead of letting
+    a 10^12-doc self-join reach the cluster.
     """
+    if docs.limit(max_docs + 1).count() > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the bounded ground-truth variant: the "
+            f"corpus exceeds max_docs={max_docs} and the shingle self-join "
+            f"is all-pairs within shared shingles; use "
+            f"minhash_lsh_candidates (the banded scale path) or raise "
+            f"max_docs explicitly.")
     sh = _ensure_parallel(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(_token_shingles(text_col, k))).alias("sh"))
@@ -413,7 +428,8 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iters: int = 50) -> DataFrame:
+                         max_iters: int = 50,
+                         strict: bool = False) -> DataFrame:
     """Collapse candidate near-dup pairs into duplicate CLUSTERS:
     (doc_id, component) where component is the cluster's minimum id.
 
@@ -488,11 +504,13 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
         # no-silent-caps convention (same as hot_bucket_cap's warning):
         # an unconverged result keeps intermediate labels and would make
         # dedup_survivors retain duplicate members of one component
-        log.warning(
-            "duplicate_components: label propagation did NOT converge "
-            "within max_iters=%d (a component's graph diameter exceeds "
-            "it); results contain unmerged labels — raise max_iters",
-            max_iters)
+        msg = ("duplicate_components: label propagation did NOT converge "
+               f"within max_iters={max_iters} (a component's graph diameter "
+               "exceeds it); results contain unmerged labels — raise "
+               "max_iters")
+        if strict:
+            raise RuntimeError(msg)
+        log.warning(msg)
     # edges' checkpoint is likewise reclaimed by the ContextCleaner when
     # this frame goes out of scope (unpersist() would be a no-op)
     return labels.select(F.col("node").alias("doc_id"),
@@ -500,15 +518,25 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id", id_a: str = "id_a",
+                    id_b: str = "id_b", max_iters: int = 50,
+                    strict: bool = False) -> DataFrame:
     """End-to-end near-dup collapse: keep one representative (minimum id)
     per duplicate component plus every unpaired document.
 
     (doc_id, is_representative=true rows only) — anti-join shape: docs
     that appear in a component with a smaller minimum are dropped; the
     component minimum and never-candidated docs survive.
+
+    ``id_a``/``id_b`` name the pair frame's columns (passed through to
+    duplicate_components); ``max_iters`` bounds label propagation, and
+    ``strict=True`` raises instead of warning when propagation fails to
+    converge (an unconverged result silently retains duplicate members
+    of unmerged components — a correctness hazard callers may prefer to
+    fail on).
     """
-    comp = duplicate_components(pairs, max_iters=50)
+    comp = duplicate_components(pairs, id_a=id_a, id_b=id_b,
+                                max_iters=max_iters, strict=strict)
     # components always come back as (doc_id, component); alias to the
     # caller's id column so the anti-join works for any id_col
     losers = (comp.filter(F.col("doc_id") != F.col("component"))

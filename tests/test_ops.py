@@ -431,6 +431,39 @@ def test_duplicate_components_and_survivors(spark):
     assert surv == [1, 5, 7]  # one per component + the unpaired doc
 
 
+def test_dedup_survivors_custom_columns_and_strict(spark):
+    """Custom id/pair column names pass through to duplicate_components;
+    strict=True raises on non-convergence instead of warning."""
+    import pytest
+
+    from defuddle_spark.ops.dedup import dedup_survivors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["left_id", "right_id"])
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7)], ["page_id"])
+    surv = sorted(r["page_id"] for r in dedup_survivors(
+        docs, pairs, id_col="page_id", id_a="left_id",
+        id_b="right_id").collect())
+    assert surv == [1, 7]
+    # a 2-round chain can't converge in one iteration: strict raises
+    with pytest.raises(RuntimeError, match="did NOT converge"):
+        dedup_survivors(docs, pairs, id_col="page_id", id_a="left_id",
+                        id_b="right_id", max_iters=1, strict=True)
+
+
+def test_ngram_jaccard_pairs_refuses_over_bound(spark):
+    import pytest
+
+    from defuddle_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d") for i in range(20)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="minhash_lsh_candidates"):
+        ngram_jaccard_pairs(docs, max_docs=10)
+    # under the bound the operator still runs
+    assert ngram_jaccard_pairs(docs, max_docs=50).count() >= 0
+
+
 def test_duplicate_components_long_chain_converges(spark):
     # a 12-node path graph needs multiple propagation rounds
     from defuddle_spark.ops.dedup import duplicate_components
@@ -550,3 +583,18 @@ def test_hash_sample_is_layout_stable_and_exact(spark):
                                 default_rate=0.0)
     langs = {r["lang"] for r in st.select("lang").distinct().collect()}
     assert langs == {"en"}
+    # stratified salt draws an INDEPENDENT split over the same ids;
+    # each salted split stays layout-independent
+    s0 = {r["doc_id"] for r in stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.5}, "lang").collect()}
+    s1 = {r["doc_id"] for r in stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.5}, "lang", salt="v2").collect()}
+    s1b = {r["doc_id"] for r in stratified_hash_sample(
+        docs.repartition(7), {"en": 0.5, "de": 0.5}, "lang",
+        salt="v2").collect()}
+    assert s1 != s0 and s1 == s1b
+    # unsalted stratified buckets match unsalted hash_sample buckets
+    # (shared md5 construction), which is exactly why salt matters
+    assert s0 == {r["doc_id"]
+                  for r in hash_sample(docs.filter(
+                      F.col("lang").isin("en", "de")), 0.5).collect()}

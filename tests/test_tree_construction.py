@@ -498,6 +498,27 @@ QUIRKS_DOCS = [
     # a doctype AFTER content is ignored: still quirks
     ("<p>pre</p><!DOCTYPE html><p>1<table><td>x",
      "<p>pre</p><p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # bogus content AFTER a complete public+system pair is eaten by the
+    # bogus-DOCTYPE state WITHOUT force-quirks (13.2.6.2
+    # unexpected-character-after-doctype-system-identifier): standards
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" '
+     '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd" bogus junk>'
+     "<p>1<table><td>x",
+     "<p>1</p><table><tbody><tr><td>x</td></tr></tbody></table>"),
+    # same after a bare SYSTEM identifier: standards
+    ('<!DOCTYPE html SYSTEM "about:legacy-compat" trailing>'
+     "<p>1<table><td>x",
+     "<p>1</p><table><tbody><tr><td>x</td></tr></tbody></table>"),
+    # but junk after a public-id-only clause (no quote opening a system
+    # id) IS missing-quote-before-doctype-system-identifier: force-quirks
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" junk>'
+     "<p>1<table><td>x",
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # a quirky public PREFIX stays quirky even with trailing junk after
+    # its system id
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 3.2 Final//EN" "s" x>'
+     "<p>1<table><td>x",
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
 ]
 
 
