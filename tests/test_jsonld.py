@@ -136,3 +136,54 @@ def test_array_context_earlier_schema_org_overridable():
     out = process_schema_org_data(doc)
     assert out["type"] == "Article"
     assert out["headline"] == "Inline Overrides Later"
+
+
+def test_custom_inline_context_expands_not_fallback():
+    """A NON-schema.org inline context (custom @vocab + term->IRI map)
+    takes the real expansion path — json-gold's with-network behavior
+    (defuddle.go:1024-1056) needs no fetch for embedded contexts. The
+    compacted output carries the schema.org `type` alias; non-schema
+    IRIs stay absolute."""
+    doc = {
+        "@context": {"@vocab": "http://example.com/vocab#",
+                     "headline": "http://purl.org/dc/terms/title"},
+        "@type": "Post",
+        "headline": "Hello",
+        "views": 5,
+    }
+    out = process_schema_org_data(doc)
+    assert out["@context"] == "https://schema.org/"
+    # expanded against the custom @vocab, compacted against schema.org:
+    # the type alias applies, the IRI stays absolute (not in the vocab)
+    assert out["type"] == "http://example.com/vocab#Post"
+    assert out["http://purl.org/dc/terms/title"] == "Hello"
+    assert out["http://example.com/vocab#views"] == 5
+
+
+def test_custom_inline_context_keyword_alias():
+    """An inline context may ALIAS keywords (`"kind": "@type"`); the
+    alias expands to @type and compacts back to schema.org's `type`."""
+    doc = {
+        "@context": {"@vocab": "http://schema.org/", "kind": "@type"},
+        "kind": "Article",
+        "name": "N",
+    }
+    out = process_schema_org_data(doc)
+    assert out["type"] == "Article"
+    assert out["name"] == "N"
+
+
+def test_custom_inline_context_id_coercion():
+    """`{"@type": "@id"}` term coercion turns string values into node
+    references, which compact to `{"id": ...}` objects."""
+    doc = {
+        "@context": {"@vocab": "http://schema.org/",
+                     "sameAs": {"@id": "http://schema.org/sameAs",
+                                "@type": "@id"}},
+        "@type": "Person",
+        "name": "P",
+        "sameAs": "https://example.test/profile",
+    }
+    out = process_schema_org_data(doc)
+    assert out["type"] == "Person"
+    assert out["sameAs"] == {"id": "https://example.test/profile"}

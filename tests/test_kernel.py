@@ -4,6 +4,7 @@ Each test cites the reference test it mirrors (file:line in
 /root/reference). Pure-Python (no Spark) — the kernel contract.
 """
 
+import json
 import textwrap
 
 from defuddle_spark import Options, extract_document
@@ -185,6 +186,35 @@ def test_schema_org_inline_context_fallback():
     assert r.title == "Inline Schema Headline"
     assert r.description == "Inline schema description"
     assert r.author == "Schema Author"
+
+
+def test_schema_org_custom_inline_context_via_expansion():
+    """extract_semantic-style page whose JSON-LD carries a NON-trivial
+    inline @context (keyword alias `kind`->@type, term map
+    `writer`->schema.org/author): the expansion path maps both back into
+    schema.org names the metadata chain consumes — the raw fallback
+    would leave `writer` unmapped and author empty (json-gold's
+    with-network behavior, defuddle.go:1024-1056)."""
+    html = """<html><head>
+        <title>Custom Context Page</title>
+        <script type="application/ld+json">
+        {
+            "@context": {"@vocab": "http://schema.org/",
+                         "kind": "@type",
+                         "writer": "http://schema.org/author"},
+            "kind": "Article",
+            "headline": "Custom Context Headline",
+            "writer": {"kind": "Person", "name": "Aliased Author"}
+        }
+        </script>
+    </head><body><article><h1>Custom Context Headline</h1><p>Readable body for the custom context page.</p></article></body></html>"""
+    r = extract_document(html)
+    assert r.title == "Custom Context Headline"
+    assert r.author == "Aliased Author"
+    items = json.loads(r.schema_org)
+    assert items[0]["type"] == "Article"
+    assert items[0]["@type"] == "Article"   # preserveJSONLDType mirror
+    assert items[0]["author"]["name"] == "Aliased Author"
 
 
 def test_schema_org_graph_and_author_arrays():
