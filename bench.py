@@ -132,6 +132,31 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_pages / timings["extract"], 2)
 
+    # Query-set growth must never read as regression: report the sum over
+    # the queries SHARED with the previous round's recorded bench next to
+    # the total (round-4 lesson — 12 new gate queries grew the total 72.5
+    # -> 110.3 s while the shared sum stayed flat).
+    shared: dict = {}
+    try:
+        import glob
+        prev_files = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if prev_files:
+            with open(prev_files[-1]) as fh:
+                prev_q = json.load(fh).get("queries", {})
+            names = [n for n in timings if n in prev_q]
+            shared = {
+                "shared_prev_file": os.path.basename(prev_files[-1]),
+                "shared_query_total": round(
+                    sum(timings[n] for n in names), 3),
+                "shared_query_total_prev": round(
+                    sum(float(prev_q[n]) for n in names), 3),
+                "shared_query_count": len(names),
+                "new_query_count": len(timings) - len(names),
+            }
+    except (OSError, ValueError):
+        pass  # a malformed prior artifact must not fail the bench
+
     print(json.dumps({
         "metric": "bench_total_seconds",
         "value": total,
@@ -149,6 +174,7 @@ def main() -> None:
         "load_avg_end": round(os.getloadavg()[0], 2),
         "load_wait_s": waited,
         "pinned_cores": pinned,
+        **shared,
         **probe,
     }))
     spark.stop()

@@ -23,6 +23,7 @@ from __future__ import annotations
 import html.parser as _hp
 import re
 from html import unescape as _unescape
+from html.entities import html5 as _html5
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
@@ -336,6 +337,12 @@ _IMPLIED_END = {
     "tbody": frozenset({"thead", "tbody", "tfoot"}),
     "tfoot": frozenset({"thead", "tbody", "tfoot"}),
 }
+
+# The spec's "generate implied end tags" element set (13.2.4; x/net/html
+# generateImpliedEndTags) — used by the ruby rules and end-tag handling.
+_IMPLIED_END_GENERATE = frozenset({
+    "dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc",
+})
 
 
 class Node:
@@ -672,6 +679,10 @@ class _TreeBuilder(HTMLParser):
                               "noframes", "xmp", "noembed", "iframe",
                               "noscript")
     _RCDATA_ELEMENTS = ("title", "textarea")
+    # Opt in to spec attribute-mode character references in the fast
+    # tokenizer (see _replace_charref_attr); the stdlib-parity recorder
+    # deliberately lacks this flag.
+    SPEC_ATTR_CHARREFS = True
 
     def __init__(self, fragment: bool = False) -> None:
         super().__init__(convert_charrefs=True)
@@ -1061,20 +1072,44 @@ class _TreeBuilder(HTMLParser):
             self.stack = [self.body]
             self.ns = [""]
 
+    def _generate_implied_end(self, except_tags: tuple = ()) -> None:
+        """Spec 13.2.4 'generate implied end tags' (x/net/html
+        generateImpliedEndTags): pop while the current node is one of the
+        implied-end set, minus ``except_tags``."""
+        while len(self.stack) > 1:
+            t = self.stack[-1].tag
+            if t in _IMPLIED_END_GENERATE and t not in except_tags:
+                self._truncate(len(self.stack) - 1)
+            else:
+                break
+
     def _implied_close(self, tag: str) -> None:
+        # Ruby annotation rules (spec in-body rb/rtc and rp/rt; x/net/html
+        # inBodyIM): with a <ruby> in scope, rb/rtc generate implied end
+        # tags fully (closing open rt/rp/rb AND rtc), while rp/rt except
+        # rtc (an annotation container stays open around its rt runs).
+        if tag in ("rb", "rtc", "rp", "rt"):
+            if self._element_in_scope("ruby"):
+                self._generate_implied_end(
+                    ("rtc",) if tag in ("rp", "rt") else ())
+            return
         # close <p> when a p-closing block opens; <table> does so only in
         # no-quirks documents (spec in-body "table": "If the Document is
         # NOT set to quirks mode, and the stack of open elements has a p
         # element in button scope, then close a p element" — in quirks
         # the table nests inside the open <p>)
         if tag in _P_CLOSERS or (tag == "table" and not self.quirks):
+            # spec: "close a p element" iff one is in BUTTON scope —
+            # default scope boundaries (applet/caption/table/td/th/
+            # marquee/object/template) plus button; a <p> outside an
+            # open <applet>/<button> is NOT closed by a block inside it
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
                 if t == "p":
                     self._truncate(i)
                     return
-                if t in ("div", "td", "th", "li", "body", "#fragment", "table",
-                         "section", "article", "main", "blockquote"):
+                if (t in _DEFAULT_SCOPE_STOP or t == "button"
+                        or t in ("body", "#fragment")):
                     break
         closers = _IMPLIED_END.get(tag)
         if closers:
@@ -1596,6 +1631,42 @@ def _cdata_close(elem: str):
     return rx
 
 
+# Spec 13.2.5.73 named-character-reference state, ATTRIBUTE mode: a named
+# reference matched WITHOUT its terminating semicolon is flushed as plain
+# text when the next input character is `=` or ASCII alphanumeric (the
+# "historical reasons" rule) — so query strings like `?a=b&not=c` survive
+# in href/src values. html.unescape (and html.parser, which calls it on
+# attribute values) applies the TEXT rules unconditionally — a stdlib
+# spec gap x/net/html does not share. Numeric references and
+# semicolon-terminated names decode identically in both modes.
+_CHARREF_RE = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)")
+
+
+def _replace_charref_attr(m: "re.Match[str]") -> str:
+    s = m.group(1)
+    if s[0] == "#":
+        return _unescape(m.group(0))  # numeric: same as text mode
+    if s in _html5:
+        # Full match. When it lacks a `;` the character that STOPPED the
+        # name scan is never `=`/alphanumeric (those are name characters,
+        # so they would have been consumed), hence always decodes.
+        return _html5[s]
+    # longest matching prefix (the tokenizer's maximal table match)
+    for x in range(len(s) - 1, 1, -1):
+        if s[:x] in _html5:
+            if s[x] == "=" or s[x].isalnum():
+                return "&" + s  # historical rule: keep literal
+            return _html5[s[:x]] + s[x:]
+    return "&" + s
+
+
+def _unescape_attr(s: str) -> str:
+    if "&" not in s:
+        return s
+    return _CHARREF_RE.sub(_replace_charref_attr, s)
+
+
 def _fast_tokenize(b: "_TreeBuilder", s: str) -> None:
     """One-pass tokenizer, event-identical to HTMLParser.feed(s)+close().
 
@@ -1740,7 +1811,12 @@ def _fast_starttag(b: "_TreeBuilder", s: str, i: int, cdata_set) -> int:
                 attrvalue[:1] == '"' == attrvalue[-1:]:
             attrvalue = attrvalue[1:-1]
         if attrvalue:
-            attrvalue = _unescape(attrvalue)
+            # spec attribute-mode charrefs for the production tree
+            # builder; handlers without the flag (the stdlib parity
+            # recorder) keep html.parser's text-mode decoding
+            attrvalue = (_unescape_attr(attrvalue)
+                         if getattr(b, "SPEC_ATTR_CHARREFS", False)
+                         else _unescape(attrvalue))
         attrs.append((attrname.lower(), attrvalue))
         k = am.end()
 

@@ -807,3 +807,79 @@ MISC_BODY_CASES = [
 @pytest.mark.parametrize("src,want", MISC_BODY_CASES)
 def test_misc_in_body_cases(src, want):
     assert body_of(src) == want
+
+
+# --- ruby annotations (spec in-body rb/rtc/rp/rt; x/net/html inBodyIM) ---
+RUBY_CASES = [
+    # rt closes an open rt (generate implied end tags)
+    ("<ruby>base<rt>a<rt>b</ruby>x",
+     "<ruby>base<rt>a</rt><rt>b</rt></ruby>x"),
+    # rb closes rb
+    ("<ruby><rb>x<rb>y</ruby>", "<ruby><rb>x</rb><rb>y</rb></ruby>"),
+    # rt inside rtc: rtc is EXCEPTED from the implied-end run
+    ("<ruby><rtc><rt>a<rt>b</rtc></ruby>",
+     "<ruby><rtc><rt>a</rt><rt>b</rt></rtc></ruby>"),
+    # rb after rtc: full implied-end run closes rt AND rtc
+    ("<ruby><rb>a<rtc><rt>x<rb>c</ruby>",
+     "<ruby><rb>a</rb><rtc><rt>x</rt></rtc><rb>c</rb></ruby>"),
+    # classic rp/rt pattern
+    ("<ruby>K<rp>(<rt>kana<rp>)</ruby>",
+     "<ruby>K<rp>(</rp><rt>kana</rt><rp>)</rp></ruby>"),
+    # rtc closes a sibling rtc
+    ("<ruby><rtc>a<rtc>b</ruby>", "<ruby><rtc>a</rtc><rtc>b</rtc></ruby>"),
+    # NO ruby in scope: rt behaves like any other unknown element
+    ("<div><rt>a<rt>b</div>", "<div><rt>a<rt>b</rt></rt></div>"),
+    # ruby boundary: an <applet> is a default-scope stop, so an rt
+    # inside it does not see the outer ruby
+    ("<ruby><rt>a<applet><rt>x<rt>y</applet></ruby>",
+     "<ruby><rt>a<applet><rt>x<rt>y</rt></rt></applet></rt></ruby>"),
+]
+
+
+@pytest.mark.parametrize("src,want", RUBY_CASES)
+def test_ruby_implied_end_tags(src, want):
+    assert body_of(src) == want
+
+
+# --- applet/marquee/object scoping (AFE markers + scope boundaries) ------
+APPLET_CASES = [
+    # an OPEN formatting element wraps the applet (reconstruction no-op)
+    ("<b>x<applet>y</applet>z", "<b>x<applet>y</applet>z</b>"),
+    # formatting opened INSIDE applet/marquee/object dies with it: the
+    # AFE marker prevents reconstruction after the container closes
+    ("<applet><b>x</applet>y", "<applet><b>x</b></applet>y"),
+    ("<marquee><i>m</marquee>n", "<marquee><i>m</i></marquee>n"),
+    ("<object><b>o</object>p", "<object><b>o</b></object>p"),
+    # button scope: <p> inside an applet does not close the outer <p>
+    ("<p>a<applet><p>b</applet>c", "<p>a<applet><p>b</p></applet>c</p>"),
+    # ... nor does a <table> inside a <button> (no-quirks table rule)
+    ("<p>a<button><table><td>x",
+     "<p>a<button><table><tbody><tr><td>x</td></tr></tbody></table>"
+     "</button></p>"),
+    # </p> inside an applet with the only open p outside: empty-p insert
+    ("<p>a<applet></p>b</applet>", "<p>a<applet><p></p>b</applet></p>"),
+]
+
+
+@pytest.mark.parametrize("src,want", APPLET_CASES)
+def test_applet_marquee_object_scoping(src, want):
+    assert body_of(src) == want
+
+
+# --- attribute-mode character references (spec 13.2.5.73) ----------------
+def test_attribute_charrefs_historical_rule():
+    """A named reference without its `;` followed by `=`/alphanumeric
+    stays LITERAL in attribute values (the spec's historical rule, which
+    x/net/html implements and html.unescape does not) — query strings
+    like `&not=c`/`&copy=1` survive; text content keeps text-mode rules."""
+    doc = parse('<!DOCTYPE html><p><a href="?a=b&not=c&copy=1">x&not;y</a>'
+                "t&notit;</p>")
+    a = next(d for d in doc.body.descendants() if d.tag == "a")
+    assert a.get("href") == "?a=b&not=c&copy=1"
+    assert a.text() == "x¬y"          # text: &not; decodes
+    assert doc.body.text().endswith("t¬it;")  # text legacy &not prefix
+    # semicolon-terminated and numeric refs decode in attributes as ever
+    doc2 = parse('<!DOCTYPE html><a href="?x=1&amp;y=&#65;&gt" title="a&copy">z</a>')
+    a2 = next(d for d in doc2.body.descendants() if d.tag == "a")
+    assert a2.get("href") == "?x=1&y=A>"
+    assert a2.get("title") == "a©"    # trailing legacy ref decodes
