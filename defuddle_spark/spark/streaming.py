@@ -146,7 +146,8 @@ _DEDUP_STATE_SCHEMA = "min_id bigint"
 def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str,
                        available_now: bool = True,
-                       max_files_per_trigger: Optional[int] = None):
+                       max_files_per_trigger: Optional[int] = None,
+                       state_ttl_ms: Optional[int] = None):
     """Streaming exact dedup: emit each content hash's FIRST-seen doc,
     suppressing every later arrival — the incremental-ingest twin of
     ops.dedup.dedup_exact, built on applyInPandasWithState (custom
@@ -154,26 +155,62 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
 
     Per md5(text) group: the first micro-batch containing the hash emits
     (text_md5, min doc_id in that batch) and records it in state; any
-    later batch's rows for the same hash emit nothing. At crawl scale
-    the state store holds one 16-byte-keyed row per distinct document —
-    the same cardinality the batch groupBy shuffles — and RocksDB-backed
-    state handles spill; exactly-once lands on the sink checkpoint.
+    later batch's rows for the same hash emit nothing.
+
+    State lifecycle (the crawl-scale sizing story): the default
+    ``state_ttl_ms=None`` keeps one 16-byte-keyed row per distinct
+    document FOREVER — the only semantics that makes global dedup exact,
+    and the same cardinality the batch groupBy shuffles; a real
+    deployment backs it with the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider``) so state spills to executor disk at
+    ~10^12 keys instead of living on the JVM heap, and the differential
+    test asserts the one-row-per-distinct-hash metric via
+    ``lastProgress.stateOperators.numRowsTotal``. Setting ``state_ttl_ms``
+    switches to a processing-time sliding TTL: every sighting of a hash
+    refreshes its timer, and a hash unseen for the TTL is EVICTED — a
+    duplicate arriving after eviction re-emits (bounded-state / bounded-
+    recall tradeoff, the standard window-dedup compromise; eviction is
+    pinned by test). Timers fire on the next micro-batch after expiry.
+
+    TTL mode requires a CONTINUOUS query (``available_now=False``):
+    with the availableNow trigger the engine keeps scheduling
+    timer-check batches even after every key is evicted, so the drain
+    never self-terminates (measured on this Spark: state hits 0 rows in
+    batch 1, batches keep running past 40) — the combination is refused
+    eagerly rather than hanging the caller.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if state_ttl_ms is not None and available_now:
+        raise ValueError(
+            "state_ttl_ms requires available_now=False: processing-time "
+            "timeouts keep an availableNow drain scheduling timer batches "
+            "forever (it never self-terminates); run TTL mode as a "
+            "continuous query and stop it explicitly.")
+
     def first_seen(key, pdfs, state):
         import pandas as pd
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # cold hash: evict; later dupes re-emit
+            return
         best = None
         for pdf in pdfs:
             m = int(pdf["doc_id"].min())
             best = m if best is None or m < best else best
         if state.exists:
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)  # sliding TTL
             return  # hash already emitted in an earlier batch: suppress
         state.update((best,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({"text_md5": [key[0]], "doc_id": [best]})
 
     from pyspark.sql import functions as F
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -183,7 +220,7 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
            .groupBy("text_md5")
            .applyInPandasWithState(
                first_seen, _DEDUP_OUT_SCHEMA, _DEDUP_STATE_SCHEMA,
-               "append", GroupStateTimeout.NoTimeout))
+               "append", timeout))
     writer = (out.writeStream.format("parquet")
               .option("path", output_dir)
               .option("checkpointLocation", checkpoint_dir)
@@ -198,7 +235,8 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
                        bands: int = 16, shingle_k: int = 3,
                        hot_bucket_cap: int = 1000,
                        available_now: bool = True,
-                       max_files_per_trigger: Optional[int] = None):
+                       max_files_per_trigger: Optional[int] = None,
+                       state_ttl_ms: Optional[int] = None):
     """Streaming MinHash-LSH near-dup candidates: incremental-ingest
     twin of ops.dedup.minhash_lsh_candidates.
 
@@ -215,14 +253,36 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
     and emits nothing further (state stays bounded at cap ids/bucket).
     Under the cap the emitted pair set (distinct across bands) equals
     the batch candidate set exactly — pinned by differential test.
+
+    State lifecycle: default ``state_ttl_ms=None`` keeps every bucket's
+    member list forever (≤ ``hot_bucket_cap`` ids per (band, band_hash)
+    key — bounded per key, corpus-proportional in key count); back with
+    the RocksDB state store at crawl scale (see dedup_exact_stream's
+    sizing note). ``state_ttl_ms`` enables a sliding processing-time TTL
+    per bucket: a bucket untouched for the TTL is evicted wholesale, so
+    later arrivals pair only against post-eviction members (bounded
+    state / bounded recall against COLD buckets; hot buckets refresh
+    their timer on every arrival). TTL mode requires a continuous query
+    (``available_now=False``) — see dedup_exact_stream's note on the
+    availableNow/timeout interaction.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if state_ttl_ms is not None and available_now:
+        raise ValueError(
+            "state_ttl_ms requires available_now=False: processing-time "
+            "timeouts keep an availableNow drain scheduling timer batches "
+            "forever (it never self-terminates); run TTL mode as a "
+            "continuous query and stop it explicitly.")
 
     from defuddle_spark.ops.dedup import band_hash_col, minhash_signature_col
 
     def emit_pairs(key, pdfs, state):
         import pandas as pd
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # cold bucket: evict members wholesale
+            return
         if state.exists:
             members, saturated = list(state.get[0]), bool(state.get[1])
         else:
@@ -243,6 +303,8 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
                 members.append(nid)
                 known.add(nid)
         state.update((members, saturated))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)  # sliding TTL
         if out_a:
             yield pd.DataFrame({"band": [int(key[0])] * len(out_a),
                                 "id_a": out_a, "id_b": out_b})
@@ -258,12 +320,14 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
               .select("doc_id",
                       F.posexplode(band_hash_col("sig", num_perm, bands))
                       .alias("band", "band_hash")))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     out = (banded
            .groupBy("band", "band_hash")
            .applyInPandasWithState(
                emit_pairs, "band int, id_a bigint, id_b bigint",
                "members array<bigint>, saturated boolean",
-               "append", GroupStateTimeout.NoTimeout))
+               "append", timeout))
     writer = (out.writeStream.format("parquet")
               .option("path", output_dir)
               .option("checkpointLocation", checkpoint_dir)
