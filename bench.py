@@ -143,8 +143,13 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
         if prev_files:
             with open(prev_files[-1]) as fh:
-                prev_q = json.load(fh).get("queries", {})
-            names = [n for n in timings if n in prev_q]
+                prev = json.load(fh)
+            # the driver's BENCH_r*.json wraps our JSON line under
+            # "parsed"; accept both that shape and a raw bench line
+            prev_q = (prev.get("parsed", {}).get("queries")
+                      or prev.get("queries") or {})
+            names = [n for n in timings
+                     if isinstance(prev_q.get(n), (int, float))]
             shared = {
                 "shared_prev_file": os.path.basename(prev_files[-1]),
                 "shared_query_total": round(
@@ -154,8 +159,10 @@ def main() -> None:
                 "shared_query_count": len(names),
                 "new_query_count": len(timings) - len(names),
             }
-    except (OSError, ValueError):
-        pass  # a malformed prior artifact must not fail the bench
+    except Exception:
+        # a malformed prior artifact (wrong shape, null timings, bad
+        # JSON) must not fail the bench after the timed work is done
+        shared = {}
 
     print(json.dumps({
         "metric": "bench_total_seconds",

@@ -870,13 +870,26 @@ class _TreeBuilder(HTMLParser):
                 return i
         return -1
 
+    def _is_scope_stop(self, i: int) -> bool:
+        """Default-scope boundary at stack index ``i`` (spec 13.2.4.2):
+        the HTML stop set plus the FOREIGN boundaries — SVG
+        foreignObject/desc/title and the MathML text integration points —
+        which are namespace-qualified (an HTML <title> in the head is
+        RCDATA, not a scope stop; only the SVG one is)."""
+        t = self.stack[i].tag
+        ns = self.ns[i]
+        if not ns:
+            return t in _DEFAULT_SCOPE_STOP
+        if ns == "svg":
+            return t in ("foreignObject", "desc", "title")
+        return t in ("mi", "mo", "mn", "ms", "mtext", "annotation-xml")
+
     def _element_in_scope(self, tag: str) -> bool:
         """'has an element in (default) scope' — spec 13.2.4.2."""
-        for el in reversed(self.stack):
-            t = el.tag
-            if t == tag:
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag and not self.ns[i]:
                 return True
-            if t in _DEFAULT_SCOPE_STOP:
+            if self._is_scope_stop(i):
                 return False
         return False
 
@@ -1105,10 +1118,10 @@ class _TreeBuilder(HTMLParser):
             # open <applet>/<button> is NOT closed by a block inside it
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
-                if t == "p":
+                if t == "p" and not self.ns[i]:
                     self._truncate(i)
                     return
-                if (t in _DEFAULT_SCOPE_STOP or t == "button"
+                if (self._is_scope_stop(i) or t == "button"
                         or t in ("body", "#fragment")):
                     break
         closers = _IMPLIED_END.get(tag)
@@ -1468,10 +1481,10 @@ class _TreeBuilder(HTMLParser):
             # open, insert an empty <p> and close it immediately.
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
-                if t == "p":
+                if t == "p" and not self.ns[i]:
                     self._truncate(i)
                     return
-                if t in _DEFAULT_SCOPE_STOP or t == "button":
+                if self._is_scope_stop(i) or t == "button":
                     break
             self._insert_element(Element("p"))
             return
@@ -1480,10 +1493,11 @@ class _TreeBuilder(HTMLParser):
             # closed by any heading end tag (</h3> closes an <h1>).
             for i in range(len(self.stack) - 1, -1, -1):
                 t = self.stack[i].tag
-                if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                if t in ("h1", "h2", "h3", "h4", "h5",
+                         "h6") and not self.ns[i]:
                     self._truncate(i)
                     return
-                if t in _DEFAULT_SCOPE_STOP:
+                if self._is_scope_stop(i):
                     return
             return
         if tag not in _SPECIAL and tag not in _SVG_TAG_ADJUST:

@@ -299,11 +299,10 @@ def _render_blocks(el, depth: int, out: List[str],
                 _render_blocks(child, depth + 1, out, pipe_tables)
         elif tag in ("div", "section", "article", "main", "aside", "header",
                      "footer", "nav", "figure", "details", "body", "html",
-                     "figcaption", "summary", "form", "fieldset"):
-            # container: recurse as block context
-            flush_inline()
-            _render_blocks(child, depth + 1, out, pipe_tables)
-        elif tag in _TABLE_CONTAINER_TAGS and not pipe_tables:
+                     "figcaption", "summary", "form", "fieldset") or (
+                tag in _TABLE_CONTAINER_TAGS and not pipe_tables):
+            # container: recurse as block context (table-family tags act
+            # as containers in the no-table-plugin default)
             flush_inline()
             _render_blocks(child, depth + 1, out, pipe_tables)
         elif tag in ("script", "style", "template"):

@@ -143,6 +143,24 @@ _DEDUP_OUT_SCHEMA = "text_md5 string, doc_id bigint"
 _DEDUP_STATE_SCHEMA = "min_id bigint"
 
 
+def _check_ttl_args(state_ttl_ms, available_now) -> None:
+    """Refuse broken TTL configurations EAGERLY (the executor-side
+    failures are opaque StreamingQueryExceptions after startup)."""
+    if state_ttl_ms is None:
+        return
+    if state_ttl_ms <= 0:
+        raise ValueError(
+            f"state_ttl_ms must be positive (got {state_ttl_ms}): "
+            "GroupState.setTimeoutDuration rejects non-positive "
+            "durations in the executor.")
+    if available_now:
+        raise ValueError(
+            "state_ttl_ms requires available_now=False: processing-time "
+            "timeouts keep an availableNow drain scheduling timer batches "
+            "forever (it never self-terminates); run TTL mode as a "
+            "continuous query and stop it explicitly.")
+
+
 def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str,
                        available_now: bool = True,
@@ -182,12 +200,7 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    if state_ttl_ms is not None and available_now:
-        raise ValueError(
-            "state_ttl_ms requires available_now=False: processing-time "
-            "timeouts keep an availableNow drain scheduling timer batches "
-            "forever (it never self-terminates); run TTL mode as a "
-            "continuous query and stop it explicitly.")
+    _check_ttl_args(state_ttl_ms, available_now)
 
     def first_seen(key, pdfs, state):
         import pandas as pd
@@ -269,12 +282,7 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    if state_ttl_ms is not None and available_now:
-        raise ValueError(
-            "state_ttl_ms requires available_now=False: processing-time "
-            "timeouts keep an availableNow drain scheduling timer batches "
-            "forever (it never self-terminates); run TTL mode as a "
-            "continuous query and stop it explicitly.")
+    _check_ttl_args(state_ttl_ms, available_now)
 
     from defuddle_spark.ops.dedup import band_hash_col, minhash_signature_col
 

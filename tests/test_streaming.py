@@ -331,3 +331,19 @@ def test_streaming_minhash_state_ttl_evicts_bucket(spark, tmp_path):
     except Exception:
         got = set()              # sink may hold no files at all
     assert got == set()          # eviction: no cross-TTL pairing
+
+
+def test_state_ttl_arg_guard():
+    """Broken TTL configs are refused eagerly, not as opaque
+    executor-side StreamingQueryExceptions."""
+    import pytest
+    from defuddle_spark.spark.streaming import _check_ttl_args
+
+    _check_ttl_args(None, True)
+    _check_ttl_args(1000, False)
+    with pytest.raises(ValueError, match="positive"):
+        _check_ttl_args(0, False)
+    with pytest.raises(ValueError, match="positive"):
+        _check_ttl_args(-5, False)
+    with pytest.raises(ValueError, match="available_now=False"):
+        _check_ttl_args(1000, True)

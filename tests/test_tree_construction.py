@@ -883,3 +883,34 @@ def test_attribute_charrefs_historical_rule():
     a2 = next(d for d in doc2.body.descendants() if d.tag == "a")
     assert a2.get("href") == "?x=1&y=A>"
     assert a2.get("title") == "a©"    # trailing legacy ref decodes
+
+
+# --- foreign-content scope boundaries (spec 13.2.4.2 namespaced stops) ---
+FOREIGN_SCOPE_CASES = [
+    # a div at an SVG HTML integration point must NOT close the outer <p>
+    ("<p>a<svg><foreignObject><div>x</div></foreignObject></svg>b",
+     "<p>a<svg><foreignObject><div>x</div></foreignObject></svg>b</p>"),
+    # MathML text integration point likewise
+    ("<p>a<math><mtext><div>x</div></mtext></math>b",
+     "<p>a<math><mtext><div>x</div></mtext></math>b</p>"),
+    # </p> inside foreignObject with the only open p outside: empty-p
+    ("<p>a<svg><foreignObject></p>x</foreignObject></svg>",
+     "<p>a<svg><foreignObject><p></p>x</foreignObject></svg></p>"),
+    # a heading end tag does not reach through the integration point
+    ("<h1>a<svg><foreignObject></h1>t</foreignObject></svg>",
+     "<h1>a<svg><foreignObject>t</foreignObject></svg></h1>"),
+    # ruby-in-scope is blocked by the SVG boundary: inner rt nests
+    ("<ruby><rt>a<svg><foreignObject><rt>x<rt>y</foreignObject></svg></ruby>",
+     "<ruby><rt>a<svg><foreignObject><rt>x<rt>y</rt></rt></foreignObject>"
+     "</svg></rt></ruby>"),
+    # the SVG <title> boundary is namespace-qualified; an svg desc stops
+    # scope while table inside it still closes a LOCAL p normally
+    ("<p>o<svg><desc><p>i<table><td>x</desc></svg>",
+     "<p>o<svg><desc><p>i</p><table><tbody><tr><td>x</td></tr></tbody>"
+     "</table></desc></svg></p>"),
+]
+
+
+@pytest.mark.parametrize("src,want", FOREIGN_SCOPE_CASES)
+def test_foreign_content_scope_boundaries(src, want):
+    assert body_of(src) == want
