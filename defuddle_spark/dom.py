@@ -710,6 +710,11 @@ class _TreeBuilder(HTMLParser):
         # frameset document: body was replaced by a root <frameset>
         # (spec in-body <frameset> / in-frameset / after-frameset modes)
         self.frameset_doc = False
+        # after-body / after-after-body (spec 13.2.6.4.19/.22): COMMENT
+        # placement differs (last child of <html> / of the Document);
+        # any start tag or non-ws text reprocesses in body and clears
+        # both. 0 = in body, 1 = after </body>, 2 = after </html>.
+        self.after_body = 0
         # the spec's form element pointer: a second <form> start tag is
         # ignored while one is open (no template on the stack here)
         self.form_ptr: Optional[Element] = None
@@ -1151,6 +1156,7 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
         self._initial = False  # any start tag leaves the initial mode
+        self.after_body = 0    # any start tag reprocesses in body
         # Foreign-content dispatch (spec 13.2.6, "tree construction
         # dispatcher"; x/net/html inForeignContent + parseForeignContent):
         # when the current node is SVG/MathML and the token neither hits an
@@ -1445,6 +1451,8 @@ class _TreeBuilder(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
         self._initial = False  # any end tag leaves the initial mode too
+        if tag not in ("html", "body", "head"):
+            self.after_body = 0  # other end tags reprocess in body
         if tag == "br":
             # Spec in-body </br>: parse error; act as a <br> start tag.
             self.handle_starttag("br", [])
@@ -1457,6 +1465,15 @@ class _TreeBuilder(HTMLParser):
             # INTO the head (pushing it back on the stack); the body only
             # starts at <body>, a non-head start tag, or non-ws text —
             # all of which handle_starttag/handle_data already do.
+            # </body>/</html> switch to after-body / after-after-body
+            # (13.2.6.4.19/.22): the open-elements stack is untouched,
+            # but COMMENTS now target <html> / the Document, and in
+            # after-head both tags imply the body first (afterHeadIM).
+            if tag in ("body", "html") and not self.frameset_doc:
+                if not self.body_started:
+                    self._start_body()
+                self.after_body = 2 if tag == "html" \
+                    else max(self.after_body, 1)
             return
         if self.frameset_doc and tag != "frameset" and (
                 self._cur().tag == "frameset" or self._cur() is self.html):
@@ -1514,8 +1531,9 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        if self._initial and data.strip(_SPEC_WS):
-            self._initial = False  # non-whitespace text leaves initial
+        if data.strip(_SPEC_WS):
+            self._initial = False   # non-whitespace text leaves initial
+            self.after_body = 0     # ...and reopens the body (13.2.6.4.19)
         if self.cdata_elem in self._RCDATA_ELEMENTS:
             data = _unescape(data)
         # spec: a newline immediately after <pre>/<listing>/<textarea>
@@ -1569,6 +1587,14 @@ class _TreeBuilder(HTMLParser):
             kids.append(t)
 
     def handle_comment(self, data: str) -> None:
+        if not self.fragment and self.after_body:
+            # after-body: last child of <html>; after-after-body: last
+            # child of the Document (x/net/html afterBodyIM/afterAfterBodyIM)
+            target = self.root if self.after_body == 2 else self.html
+            c = Comment(data)
+            c.parent = target
+            target.children.append(c)
+            return
         if not self.fragment and not self.body_started and self._cur() is self.head:
             c = Comment(data)
             c.parent = self.head

@@ -914,3 +914,55 @@ FOREIGN_SCOPE_CASES = [
 @pytest.mark.parametrize("src,want", FOREIGN_SCOPE_CASES)
 def test_foreign_content_scope_boundaries(src, want):
     assert body_of(src) == want
+
+
+# --- after-body / after-after-body comments (13.2.6.4.19/.22) ------------
+def test_after_body_comment_placement():
+    """Comments after </body> become the LAST CHILD OF <html>; after
+    </html> they attach to the Document — not the body (x/net/html
+    afterBodyIM / afterAfterBodyIM); any start tag / non-ws text / other
+    end tag reprocesses in body and later comments go back inside."""
+    from defuddle_spark.dom import COMMENT, parse
+
+    d = parse("<!DOCTYPE html><html><body><b>x</b></body><!--c--></html>")
+    assert [c.data for c in d.html.children if c.type == COMMENT] == ["c"]
+    assert d.body.inner_html() == "<b>x</b>"
+
+    d2 = parse("<!DOCTYPE html><html><body>x</body></html><!--tail-->")
+    assert [c.data for c in d2.root.children if c.type == COMMENT] == ["tail"]
+
+    # non-ws text after </html> reopens the body; the NEXT comment is
+    # back in body (in-body mode)
+    d3 = parse("<p>x</p></body></html>tail<!--back-->")
+    assert d3.body.inner_html() == "<p>x</p>tail<!--back-->"
+    assert not [c for c in d3.root.children if c.type == COMMENT]
+
+    # a start tag reopens too
+    d4 = parse("<body><p>a</p></body><div>b</div><!--in-->")
+    assert d4.body.inner_html() == "<p>a</p><div>b</div><!--in-->"
+
+    # after-head </body> implies the body first (afterHeadIM), so the
+    # comment targets <html>, not the still-open head
+    d5 = parse("<head><title>t</title></head></body><!--h-->")
+    assert [c.data for c in d5.html.children if c.type == COMMENT] == ["h"]
+
+
+def test_in_table_pending_character_flush():
+    """In-table text: whitespace-only runs stay inside the table;
+    any non-ws in the pending run fosters the WHOLE run (spaces
+    included) before the table."""
+    assert body_of("<table>a b<td>x</td></table>") == \
+        "a b<table><tbody><tr><td>x</td></tr></tbody></table>"
+    assert body_of("<table> \t\n<tr><td>x</td></tr></table>") == \
+        "<table> \t\n<tbody><tr><td>x</td></tr></tbody></table>"
+    assert body_of("<table><tr> a <td>x</td></tr></table>") == \
+        " a <table><tbody><tr><td>x</td></tr></tbody></table>"
+
+
+def test_foreign_font_breakout_depends_on_attrs():
+    """<font> is a foreign-content breakout tag ONLY with a
+    color/face/size attribute (spec 13.2.6.5; x/net/html breakout)."""
+    assert body_of('<svg><font color="red">a</font></svg>') == \
+        '<svg></svg><font color="red">a</font>'
+    assert body_of('<svg><font weight="b">a</font></svg>') == \
+        '<svg><font weight="b">a</font></svg>'
