@@ -1531,7 +1531,8 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        if data.strip(_SPEC_WS):
+        # flag-gated so the hot path never pays the strip allocation
+        if (self._initial or self.after_body) and data.strip(_SPEC_WS):
             self._initial = False   # non-whitespace text leaves initial
             self.after_body = 0     # ...and reopens the body (13.2.6.4.19)
         if self.cdata_elem in self._RCDATA_ELEMENTS:
