@@ -1135,8 +1135,15 @@ class _TreeBuilder(HTMLParser):
                 # Spec li/dd/dt loop (13.2.6.4.7): close a matching open
                 # item, but STOP at any special element other than
                 # address/div/p — an item inside e.g. <section> is not
-                # closed by a new item outside it.
+                # closed by a new item outside it. The special category
+                # includes the FOREIGN integration-point elements (SVG
+                # foreignObject/desc/title, MathML text IPs) and only
+                # those — other foreign elements are walked past.
                 for i in range(len(self.stack) - 1, -1, -1):
+                    if self.ns[i]:
+                        if self._is_scope_stop(i):
+                            return
+                        continue
                     t = self.stack[i].tag
                     if t in closers:
                         self._truncate(i)
@@ -1145,6 +1152,10 @@ class _TreeBuilder(HTMLParser):
                         return
                 return
             for i in range(len(self.stack) - 1, -1, -1):
+                if self.ns[i]:
+                    if self._is_scope_stop(i):
+                        break
+                    continue
                 t = self.stack[i].tag
                 if t in closers:
                     self._truncate(i)
@@ -1156,7 +1167,11 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         tag = tag.lower()
         self._initial = False  # any start tag leaves the initial mode
-        self.after_body = 0    # any start tag reprocesses in body
+        if tag != "html":
+            # any start tag EXCEPT <html> reprocesses in body; <html> is
+            # handled via in-body rules while STAYING in after-body
+            # (13.2.6.4.19's explicit html case)
+            self.after_body = 0
         # Foreign-content dispatch (spec 13.2.6, "tree construction
         # dispatcher"; x/net/html inForeignContent + parseForeignContent):
         # when the current node is SVG/MathML and the token neither hits an
@@ -1465,15 +1480,29 @@ class _TreeBuilder(HTMLParser):
             # INTO the head (pushing it back on the stack); the body only
             # starts at <body>, a non-head start tag, or non-ws text —
             # all of which handle_starttag/handle_data already do.
+            # In after-body, </head> is "anything else": back to in-body.
+            if tag == "head":
+                self.after_body = 0
+                return
             # </body>/</html> switch to after-body / after-after-body
             # (13.2.6.4.19/.22): the open-elements stack is untouched,
             # but COMMENTS now target <html> / the Document, and in
             # after-head both tags imply the body first (afterHeadIM).
-            if tag in ("body", "html") and not self.frameset_doc:
+            # A stray </body> with NO body in scope — inside an open
+            # template, td, caption, or foreign content — is a parse
+            # error and IGNORED (in-template/in-table ignore it; the
+            # in-body rule requires body in scope).
+            if not self.frameset_doc:
                 if not self.body_started:
+                    if any(el.tag == "template" and not n
+                           for el, n in zip(self.stack, self.ns)):
+                        return  # in-template: ignored
                     self._start_body()
-                self.after_body = 2 if tag == "html" \
-                    else max(self.after_body, 1)
+                elif not self._element_in_scope("body"):
+                    return
+                # </body> from after-after-body reprocesses in body and
+                # lands back at after-body (not max()-sticky at 2)
+                self.after_body = 2 if tag == "html" else 1
             return
         if self.frameset_doc and tag != "frameset" and (
                 self._cur().tag == "frameset" or self._cur() is self.html):

@@ -143,11 +143,15 @@ _DEDUP_OUT_SCHEMA = "text_md5 string, doc_id bigint"
 _DEDUP_STATE_SCHEMA = "min_id bigint"
 
 
-def _check_ttl_args(state_ttl_ms, available_now) -> None:
-    """Refuse broken TTL configurations EAGERLY (the executor-side
-    failures are opaque StreamingQueryExceptions after startup)."""
+def _ttl_timeout_conf(state_ttl_ms, available_now):
+    """Validate TTL configuration EAGERLY (the executor-side failures are
+    opaque StreamingQueryExceptions after startup) and return the
+    GroupStateTimeout to use — the shared half of both stateful ops'
+    sliding-TTL plumbing."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     if state_ttl_ms is None:
-        return
+        return GroupStateTimeout.NoTimeout
     if state_ttl_ms <= 0:
         raise ValueError(
             f"state_ttl_ms must be positive (got {state_ttl_ms}): "
@@ -159,6 +163,7 @@ def _check_ttl_args(state_ttl_ms, available_now) -> None:
             "timeouts keep an availableNow drain scheduling timer batches "
             "forever (it never self-terminates); run TTL mode as a "
             "continuous query and stop it explicitly.")
+    return GroupStateTimeout.ProcessingTimeTimeout
 
 
 def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
@@ -198,9 +203,7 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
     batch 1, batches keep running past 40) — the combination is refused
     eagerly rather than hanging the caller.
     """
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    _check_ttl_args(state_ttl_ms, available_now)
+    timeout = _ttl_timeout_conf(state_ttl_ms, available_now)
 
     def first_seen(key, pdfs, state):
         import pandas as pd
@@ -222,8 +225,6 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
 
     from pyspark.sql import functions as F
 
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -280,9 +281,7 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
     availableNow/timeout interaction.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    _check_ttl_args(state_ttl_ms, available_now)
+    timeout = _ttl_timeout_conf(state_ttl_ms, available_now)
 
     from defuddle_spark.ops.dedup import band_hash_col, minhash_signature_col
 
@@ -328,8 +327,6 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
               .select("doc_id",
                       F.posexplode(band_hash_col("sig", num_perm, bands))
                       .alias("band", "band_hash")))
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     out = (banded
            .groupBy("band", "band_hash")
            .applyInPandasWithState(

@@ -262,6 +262,18 @@ def test_streaming_dedup_state_ttl_evicts_and_reemits(spark, tmp_path):
             time.sleep(0.5)
         return sink_ids()
 
+    def wait_state_empty(deadline=120):
+        # deterministic eviction gate: the timer batch that evicts
+        # reports numRowsTotal back at 0 — no wall-clock guessing
+        end = time.time() + deadline
+        while time.time() < end:
+            p = q.lastProgress
+            so = (p or {}).get("stateOperators") or []
+            if so and so[0].get("numRowsTotal") == 0:
+                return
+            time.sleep(0.5)
+        raise AssertionError("state never drained")
+
     pd.DataFrame({"doc_id": [1], "text": ["alpha text"]}) \
         .to_parquet(in_dir / "b1.parquet")
     q = dedup_exact_stream(spark, str(in_dir), str(tmp_path / "out"),
@@ -269,19 +281,60 @@ def test_streaming_dedup_state_ttl_evicts_and_reemits(spark, tmp_path):
                            max_files_per_trigger=1, state_ttl_ms=2000)
     try:
         assert wait_for([1]) == [1]      # (alpha, 1) emitted, timer armed
-        time.sleep(5)                    # timer batch fires -> alpha evicted
-        pd.DataFrame({"doc_id": [5], "text": ["beta text"]}) \
-            .to_parquet(in_dir / "b2.parquet")
-        assert wait_for([1, 5]) == [1, 5]
-        # a duplicate of a LIVE hash exercises the sliding-refresh path
-        # (setTimeoutDuration on an existing, un-updated state row); it
-        # must stay suppressed
-        pd.DataFrame({"doc_id": [6], "text": ["beta text"]}) \
-            .to_parquet(in_dir / "b2b.parquet")
+        wait_state_empty()               # timer batch fires -> alpha evicted
         pd.DataFrame({"doc_id": [9], "text": ["alpha text"]}) \
             .to_parquet(in_dir / "b3.parquet")
-        # alpha unseen by state: RE-emitted after eviction; 6 suppressed
-        assert wait_for([1, 5, 9]) == [1, 5, 9]
+        # alpha unseen by state: RE-emitted after eviction
+        assert wait_for([1, 9]) == [1, 9]
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_state_ttl_refresh_suppresses(spark, tmp_path):
+    """The sliding-refresh path (setTimeoutDuration on an EXISTING,
+    un-updated state row) runs without executor error and keeps the
+    duplicate suppressed. A long TTL isolates refresh from eviction —
+    the eviction leg has its own deterministic test above."""
+    import time
+
+    import pandas as pd
+    from defuddle_spark.spark.streaming import dedup_exact_stream
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+
+    def sink_ids():
+        try:
+            return sorted(r["doc_id"] for r in
+                          spark.read.parquet(str(tmp_path / "out")).collect())
+        except Exception:
+            return []
+
+    pd.DataFrame({"doc_id": [1], "text": ["alpha text"]}) \
+        .to_parquet(in_dir / "b1.parquet")
+    q = dedup_exact_stream(spark, str(in_dir), str(tmp_path / "out"),
+                           str(tmp_path / "ckpt"), available_now=False,
+                           max_files_per_trigger=1, state_ttl_ms=300_000)
+    try:
+        end = time.time() + 120
+        while time.time() < end and sink_ids() != [1]:
+            time.sleep(0.5)
+        assert sink_ids() == [1]
+        pd.DataFrame({"doc_id": [6], "text": ["alpha text"]}) \
+            .to_parquet(in_dir / "b2.parquet")
+        # wait until the duplicate's data batch committed, then confirm
+        # it stayed suppressed (a failing setTimeoutDuration would kill
+        # the query and the batch would never commit)
+        end = time.time() + 120
+        seen = False
+        while time.time() < end and not seen:
+            for p in q.recentProgress:
+                if p["batchId"] > 0 and p.get("numInputRows", 0) > 0:
+                    seen = True
+            time.sleep(0.5)
+        assert seen, "duplicate batch never committed"
+        time.sleep(1)
+        assert sink_ids() == [1]         # suppressed, state refreshed
     finally:
         q.stop()
 
@@ -337,13 +390,16 @@ def test_state_ttl_arg_guard():
     """Broken TTL configs are refused eagerly, not as opaque
     executor-side StreamingQueryExceptions."""
     import pytest
-    from defuddle_spark.spark.streaming import _check_ttl_args
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    _check_ttl_args(None, True)
-    _check_ttl_args(1000, False)
+    from defuddle_spark.spark.streaming import _ttl_timeout_conf
+
+    assert _ttl_timeout_conf(None, True) == GroupStateTimeout.NoTimeout
+    assert _ttl_timeout_conf(1000, False) == \
+        GroupStateTimeout.ProcessingTimeTimeout
     with pytest.raises(ValueError, match="positive"):
-        _check_ttl_args(0, False)
+        _ttl_timeout_conf(0, False)
     with pytest.raises(ValueError, match="positive"):
-        _check_ttl_args(-5, False)
+        _ttl_timeout_conf(-5, False)
     with pytest.raises(ValueError, match="available_now=False"):
-        _check_ttl_args(1000, True)
+        _ttl_timeout_conf(1000, True)

@@ -966,3 +966,54 @@ def test_foreign_font_breakout_depends_on_attrs():
         '<svg></svg><font color="red">a</font>'
     assert body_of('<svg><font weight="b">a</font></svg>') == \
         '<svg><font weight="b">a</font></svg>'
+
+
+def test_stray_body_end_tags_ignored_out_of_scope():
+    """</body>/</html> are IGNORED when no body is in scope — inside an
+    open template, a table cell, caption, or foreign content — so they
+    neither leak template content into the body nor misroute the
+    following comments (in-template/in-table ignore rules + the in-body
+    body-in-scope requirement)."""
+    from defuddle_spark.dom import COMMENT, parse
+
+    # head-level template: content stays inside, body stays empty
+    d = parse("<head><template></body><b>x</b></template></head>")
+    tpl = next(e for e in d.head.descendants() if e.tag == "template")
+    assert tpl.inner_html() == "<b>x</b>"
+    assert d.body.inner_html() == ""
+    # body-level template: the comment lands in template content
+    d3 = parse("<div><template></body><!--c-->z</template></div>")
+    tpl3 = next(e for e in d3.body.descendants() if e.tag == "template")
+    assert tpl3.inner_html() == "<!--c-->z"
+    assert not [c for c in d3.html.children if c.type == COMMENT]
+    # table cell: the comment stays in the cell, the row continues
+    d4 = parse("<table><tr><td>x</body><!--c--><td>y")
+    assert d4.body.inner_html() == ("<table><tbody><tr><td>x<!--c--></td>"
+                                    "<td>y</td></tr></tbody></table>")
+
+
+def test_after_body_mode_transitions():
+    """after-body edge transitions (13.2.6.4.19/.22): </head> is
+    'anything else' (back to in-body); an <html> START tag stays in
+    after-body; </body> from after-after-body returns to after-body."""
+    from defuddle_spark.dom import COMMENT, parse
+
+    d5 = parse("<p>x</body></head><!--c-->")
+    assert d5.body.inner_html() == "<p>x<!--c--></p>"
+    d6 = parse("<body>x</body><html><!--c-->")
+    assert [c.data for c in d6.html.children if c.type == COMMENT] == ["c"]
+    d7 = parse("<body>x</body></html></body><!--c-->")
+    assert [c.data for c in d7.html.children if c.type == COMMENT] == ["c"]
+    assert not [c for c in d7.root.children if c.type == COMMENT]
+
+
+def test_list_item_loops_respect_foreign_boundaries():
+    """li/dd/dt closers stop at the foreign special-category elements
+    (SVG foreignObject/desc/title, MathML text IPs) instead of closing
+    an outer item through the foreign subtree."""
+    assert body_of("<ul><li>a<svg><foreignObject><li>x</foreignObject>"
+                   "</svg>b</ul>") == \
+        "<ul><li>a<svg><foreignObject><li>x</li></foreignObject></svg>b</li></ul>"
+    assert body_of("<dl><dt>a<svg><foreignObject><dd>x</foreignObject>"
+                   "</svg></dl>") == \
+        "<dl><dt>a<svg><foreignObject><dd>x</dd></foreignObject></svg></dt></dl>"
