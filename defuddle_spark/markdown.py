@@ -221,6 +221,17 @@ _TABLE_CONTAINER_TAGS = frozenset({
     "thead", "tbody", "tfoot", "tr", "td", "th", "caption", "colgroup",
 })
 
+# Unhandled BLOCK elements render their children as blocks (v2's base
+# plugin classifies these as block nodes): a dl flattens to
+# term/definition blocks, an hgroup keeps its heading a heading, a menu
+# or orphan <li> flattens per item — NOT inline-concatenated.
+_BLOCK_CONTAINER_TAGS = frozenset({
+    "div", "section", "article", "main", "aside", "header", "footer",
+    "nav", "figure", "details", "body", "html", "figcaption", "summary",
+    "form", "fieldset", "dl", "dt", "dd", "address", "center", "hgroup",
+    "menu", "dir", "output", "audio", "video", "canvas", "li",
+})
+
 
 def _render_blocks(el, depth: int, out: List[str],
                    pipe_tables: bool = False) -> None:
@@ -297,9 +308,7 @@ def _render_blocks(el, depth: int, out: List[str],
                 # table acts as a block container and cells flatten to
                 # their own blocks (module docstring).
                 _render_blocks(child, depth + 1, out, pipe_tables)
-        elif tag in ("div", "section", "article", "main", "aside", "header",
-                     "footer", "nav", "figure", "details", "body", "html",
-                     "figcaption", "summary", "form", "fieldset") or (
+        elif tag in _BLOCK_CONTAINER_TAGS or (
                 tag in _TABLE_CONTAINER_TAGS and not pipe_tables):
             # container: recurse as block context (table-family tags act
             # as containers in the no-table-plugin default)

@@ -244,3 +244,19 @@ def test_kernel_markdown_pipe_tables_option():
         html, options=Options(markdown=True, markdown_pipe_tables=True))
     assert "a\n\nb" in flat.content_markdown
     assert "| a | b |" in piped.content_markdown
+
+
+def test_unhandled_block_elements_flatten_as_blocks():
+    """dl/dt/dd, hgroup, menu, and orphan <li> are BLOCK elements in the
+    v2 base plugin's classification: their children render as
+    blank-line-separated blocks (an hgroup keeps its heading a heading),
+    never inline-concatenated."""
+    assert convert_html("<dl><dt>term</dt><dd>definition</dd></dl>") == \
+        "term\n\ndefinition"
+    assert convert_html("<hgroup><h1>A</h1><p>sub</p></hgroup>") == \
+        "# A\n\nsub"
+    assert convert_html("<menu><li>one</li><li>two</li></menu>") == \
+        "one\n\ntwo"
+    assert convert_html("<li>orphan</li>after") == "orphan\n\nafter"
+    assert convert_html("<address>42 Street</address><p>x</p>") == \
+        "42 Street\n\nx"
