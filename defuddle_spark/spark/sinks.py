@@ -1,0 +1,81 @@
+"""Result sinks: parquet (sandbox default) and Iceberg (the north-rule
+target table format).
+
+The north rule names Iceberg tables as the storage layer. This sandbox
+ships no Iceberg runtime jar or catalog, so the engine's commit/resume
+protocol runs on parquet (spark/manifest.py) — but the WRITE surface is
+format-dispatched here so a real deployment is a config change, not a
+code change:
+
+- ``format="parquet"``: ``df.write.partitionBy(...).parquet(path)`` —
+  what every gate/bench run uses.
+- ``format="iceberg"``: ``df.writeTo(table)`` (the DataFrameWriterV2 /
+  SQL-analyzed path Iceberg documents) with ``append()`` or
+  ``createOrReplace()``. Requires the session to carry an Iceberg
+  catalog, e.g.::
+
+      spark.sql.extensions = org.apache.iceberg.spark.extensions
+          .IcebergSparkSessionExtensions
+      spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog
+      spark.sql.catalog.<name>.type = hive | hadoop | rest
+      spark.sql.catalog.<name>.warehouse = <path/uri>
+
+  and the iceberg-spark-runtime jar on the classpath. Without a
+  configured catalog this function refuses EAGERLY with that checklist
+  instead of dying in the analyzer. On Iceberg, the manifest protocol's
+  commit records ride snapshot commits (write-audit-publish): stage to
+  a WAP branch, validate counts, then fast-forward — the same
+  resume-by-anti-join shape manifest.py implements on parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _iceberg_catalog_configured(spark, table: str) -> bool:
+    """True when the table's catalog prefix has a SparkCatalog binding."""
+    catalog = table.split(".", 1)[0] if "." in table else \
+        spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+    return bool(spark.conf.get(f"spark.sql.catalog.{catalog}", None))
+
+
+def write_results(df: DataFrame, target: str, format: str = "parquet",
+                  mode: str = "append",
+                  partition_by: Optional[Sequence[str]] = None) -> None:
+    """Write a result DataFrame to ``target`` in the given format.
+
+    ``target`` is a path for parquet and a (possibly catalog-qualified)
+    table identifier for iceberg. ``mode`` is ``append`` or
+    ``overwrite`` (iceberg: ``createOrReplace``).
+    """
+    if format == "parquet":
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        return
+    if format == "iceberg":
+        spark = df.sparkSession
+        if not _iceberg_catalog_configured(spark, target):
+            raise RuntimeError(
+                f"no Iceberg catalog configured for table '{target}': set "
+                "spark.sql.extensions=org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions, spark.sql.catalog.<name>="
+                "org.apache.iceberg.spark.SparkCatalog (+ .type and "
+                ".warehouse), and put iceberg-spark-runtime on the "
+                "classpath; this sandbox has neither, so gate/bench runs "
+                "use the parquet sink + manifest commit log instead.")
+        writer = df.writeTo(target)
+        if partition_by:
+            from pyspark.sql import functions as F
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    raise ValueError(f"unsupported sink format: {format!r} "
+                     "(expected 'parquet' or 'iceberg')")

@@ -182,3 +182,26 @@ def test_giant_two_tier_byte_identity(spark):
     assert any(len(r["extracted_text"]) > 500_000 for r in one.values())
     for url, r in one.items():
         assert tuple(r) == tuple(two[url]), url
+
+
+def test_result_sink_dispatch(spark, tmp_path):
+    """write_results: parquet path round-trips (with partitioning);
+    the iceberg path refuses eagerly with the catalog checklist when no
+    Iceberg catalog is configured (this sandbox), and unknown formats
+    are rejected."""
+    import pytest
+
+    from defuddle_spark.spark.sinks import write_results
+
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "de")], ["doc_id", "text", "lang"])
+    out = str(tmp_path / "sink")
+    write_results(df, out, format="parquet", partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert {r["doc_id"] for r in back.collect()} == {1, 2}
+    assert "lang=en" in " ".join(str(p) for p in (tmp_path / "sink").iterdir())
+
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_results(df, "lake.db.results", format="iceberg")
+    with pytest.raises(ValueError, match="unsupported sink format"):
+        write_results(df, out, format="orc2")
