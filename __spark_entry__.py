@@ -677,6 +677,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(_emb_doubled(spark, sf_dir), threshold=0.9)
 
 
+def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact all-pairs near-dup (blocked matrix product via
+    cogroup — no driver collect, no whole-corpus broadcast); output is
+    bit-identical to the broadcast ground-truth variant, so it shares
+    the embedding_neardup oracle."""
+    from defuddle_spark.ops.similarity import cosine_neardup_pairs_blocked
+    return cosine_neardup_pairs_blocked(_emb_doubled(spark, sf_dir),
+                                        threshold=0.9, n_blocks=6)
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: signature-bucketed candidates, exact verify. Recall is
     probabilistic (rows-only check); the differential test pins
@@ -827,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -908,6 +919,25 @@ def _conv_oracle(url_sql: str, bot_class: str, bot_name: str,
                     x -> x <> '')) AS INTEGER) AS word_count
         FROM asm
     """
+
+_NEARDUP_EXACT_SQL = """
+    WITH e2 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+               list_concat([embedding[1]::DOUBLE + 0.1],
+                           (embedding[2:])::DOUBLE[])
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nn FROM e2
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.emb, b.emb) / (a.nn * b.nn), 4) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.9
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     from defuddle_spark.spark.pages import (RETRY_BYLINE as _RETRY_BYLINE,
@@ -1462,23 +1492,10 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(regexp_extract_all(text, {_BPE_SQL})), 1), 6) AS chars_per_bpe_token
             FROM documents
         """,
-        "embedding_neardup": """
-            WITH e2 AS (
-                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-                UNION ALL
-                SELECT vec_id + 10000,
-                       list_concat([embedding[1]::DOUBLE + 0.1],
-                                   (embedding[2:])::DOUBLE[])
-                FROM embeddings
-            ), n AS (
-                SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nn FROM e2
-            )
-            SELECT id_a, id_b, cos_sim FROM (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       round(list_dot_product(a.emb, b.emb) / (a.nn * b.nn), 4) AS cos_sim
-                FROM n a JOIN n b ON a.vec_id < b.vec_id
-            ) WHERE cos_sim >= 0.9
-        """,
+        "embedding_neardup": _NEARDUP_EXACT_SQL,
+        # the blocked distributed variant is bit-identical by construction
+        # (same guard-prune + sequential-fold re-rank): same oracle
+        "embedding_neardup_blocked": _NEARDUP_EXACT_SQL,
         "minhash_lsh_planted": """
             -- identical planted texts => identical 64-perm signatures =>
             -- every band collides => all 500 pairs recovered at exactly 1.0

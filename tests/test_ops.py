@@ -598,3 +598,31 @@ def test_hash_sample_is_layout_stable_and_exact(spark):
     assert s0 == {r["doc_id"]
                   for r in hash_sample(docs.filter(
                       F.col("lang").isin("en", "de")), 0.5).collect()}
+
+
+def test_cosine_neardup_blocked_matches_broadcast_exact(spark):
+    """The blocked (cogroup matrix-product) exact near-dup must emit the
+    bit-identical pair set of the driver-broadcast ground truth — the
+    block matmul only prunes; the sequential-fold re-rank decides."""
+    import numpy as np
+    import pytest
+
+    from defuddle_spark.ops.similarity import (
+        cosine_neardup_pairs, cosine_neardup_pairs_blocked)
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(200)]
+    rows += [(1000 + i,
+              (np.array(rows[i][1]) + 0.01 * rng.randn(16)).tolist())
+             for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    want = {(r["id_a"], r["id_b"], r["cos_sim"])
+            for r in cosine_neardup_pairs(emb, threshold=0.8).collect()}
+    for n_blocks in (1, 3, 7):
+        got = {(r["id_a"], r["id_b"], r["cos_sim"])
+               for r in cosine_neardup_pairs_blocked(
+                   emb, threshold=0.8, n_blocks=n_blocks).collect()}
+        assert got == want, n_blocks
+    assert len(want) >= 30
+    with pytest.raises(ValueError, match="cosine_neardup_lsh"):
+        cosine_neardup_pairs_blocked(emb, max_vectors=10)
