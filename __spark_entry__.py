@@ -36,6 +36,10 @@ _MD7_MID = ("\n\n---\n\nline one \\" + chr(10)
 # family-8 tail: remaining flattened table cells (reference default:
 # ConvertString registers no table plugin -> cells become blocks)
 _MD8_TAIL = "\n\n7\n\nbeta\n\n9\n\n"
+# family-8 bytes with the GFM table plugin ON (extract_markdown_pipe gate):
+# the same table renders as a pipe table instead of flattened cells
+_MDP_HEAD = "| Name | Count |\n| --- | --- |\n| alpha "
+_MDP_TAIL = " | 7 |\n| beta | 9 |\n\n"
 # family-9 head/tail: smart-escaping bytes as produced by _escape_chars /
 # _escape_line_starts (precomputed: backslashes not allowed in f-string
 # expressions). The unescaped `!` before `\[` is deliberate: brackets are
@@ -357,6 +361,23 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthesize_markdown_pages(spark, sf_dir)
     out = extract_pages(pages.select("url", "html"), with_routing_column=False,
                         kernel_options={"markdown": True})
+    return out.select("url", "content_markdown", "word_count")
+
+
+def q_extract_markdown_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 markdown with the GFM table plugin enabled
+    (Options.markdown_pipe_tables — the reference's plugin/table behavior,
+    opt-in because ConvertString's default registers no table plugin):
+    the family-8 table docs render as pipe tables, so BOTH table modes are
+    oracle-frozen (VERDICT r5 #5; the default flatten mode is family 8 of
+    extract_markdown)."""
+    from defuddle_spark.spark.pages import synthesize_markdown_pages
+    from defuddle_spark.spark.pipeline import extract_pages
+    pages = (synthesize_markdown_pages(spark, sf_dir)
+             .filter(F.col("doc_id") % 10 == 8))
+    out = extract_pages(pages.select("url", "html"), with_routing_column=False,
+                        kernel_options={"markdown": True,
+                                        "markdown_pipe_tables": True})
     return out.select("url", "content_markdown", "word_count")
 
 
@@ -935,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_giant": q_extract_giant,
         "extract_debug": q_extract_debug,
         "extract_markdown": q_extract_markdown,
+        "extract_markdown_pipe": q_extract_markdown_pipe,
         "extract_stream": q_extract_stream,
         "dedup_stream": q_dedup_stream,
         "minhash_lsh_stream": q_minhash_lsh_stream,
@@ -1241,6 +1263,17 @@ def _all_oracles() -> dict[str, str]:
                      WHEN 8 THEN 1 ELSE 24
                    END AS INTEGER) AS word_count
             FROM documents
+        """,
+        "extract_markdown_pipe": f"""
+            -- family-8 table docs with the GFM table plugin ON: pipe-table
+            -- bytes; word_count is mode-independent (computed from
+            -- extracted_text, same +1 structural constant as family 8)
+            SELECT 'https://md.example.test/' || lang || '/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   {_sql_str(_MDP_HEAD)} || {_DID} || {_sql_str(_MDP_TAIL)}
+                       || text AS content_markdown,
+                   CAST(len({_TOKENS}) + 1 AS INTEGER) AS word_count
+            FROM documents WHERE doc_id % 10 = 8
         """,
         "extract_hackernews": f"""
             SELECT 'https://news.ycombinator.com/item?id=' || CAST(doc_id AS VARCHAR) AS url,

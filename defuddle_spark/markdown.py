@@ -308,10 +308,13 @@ def _render_blocks(el, depth: int, out: List[str],
                 # table acts as a block container and cells flatten to
                 # their own blocks (module docstring).
                 _render_blocks(child, depth + 1, out, pipe_tables)
-        elif tag in _BLOCK_CONTAINER_TAGS or (
-                tag in _TABLE_CONTAINER_TAGS and not pipe_tables):
-            # container: recurse as block context (table-family tags act
-            # as containers in the no-table-plugin default)
+        elif tag in _BLOCK_CONTAINER_TAGS or tag in _TABLE_CONTAINER_TAGS:
+            # container: recurse as block context. Table-family tags act as
+            # containers in BOTH modes — with pipe_tables a well-formed
+            # table is consumed whole by _render_table above, so any
+            # td/tr/caption reaching this dispatcher is an ORPHAN (outside
+            # a <table>) and must render as blocks exactly like the
+            # default mode, not fall to inline accumulation.
             flush_inline()
             _render_blocks(child, depth + 1, out, pipe_tables)
         elif tag in ("script", "style", "template"):

@@ -246,6 +246,36 @@ def test_kernel_markdown_pipe_tables_option():
     assert "| a | b |" in piped.content_markdown
 
 
+def test_orphan_table_tags_block_parity_across_modes():
+    """ADVICE r5: orphan table-family tags (td/tr/caption with no ancestor
+    <table> in the rendered tree) must act as block containers in pipe
+    mode exactly as in the default mode — only a cell reached through
+    _render_table renders as a pipe cell. The full parser drops orphan
+    cell tags in body, so drive the renderer with a constructed tree."""
+    from defuddle_spark.dom import Element, Text
+    from defuddle_spark.markdown import _render_blocks
+
+    root = Element("div")
+    td = Element("td")
+    td.append(Text("cell one"))
+    tr = Element("tr")
+    for t in ("a", "b"):
+        c = Element("td")
+        c.append(Text(t))
+        tr.append(c)
+    cap = Element("caption")
+    cap.append(Text("cap"))
+    for n in (td, tr, cap):
+        root.append(n)
+    outs = {}
+    for mode in (False, True):
+        out = []
+        _render_blocks(root, 0, out, pipe_tables=mode)
+        outs[mode] = out
+    assert outs[False] == ["cell one", "a", "b", "cap"]
+    assert outs[True] == outs[False]
+
+
 def test_unhandled_block_elements_flatten_as_blocks():
     """dl/dt/dd, hgroup, menu, and orphan <li> are BLOCK elements in the
     v2 base plugin's classification: their children render as
