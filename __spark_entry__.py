@@ -314,6 +314,54 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(outp).select("text_md5", "doc_id")
 
 
+def q_dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time (watermark-evicted) streaming dedup at the gate — the
+    availableNow-capable bounded-state mode (spark/streaming.py
+    dedup_exact_stream_watermark; the processing-time TTL mode cannot
+    drain in batch, an engine limitation measured in round 5).
+
+    Three deterministic micro-batches (mtime-ordered files under
+    maxFilesPerTrigger=1): the originals emit; a far-future batch of NEW
+    docs advances the watermark past the originals' 1-hour window; a third
+    batch of exact duplicates then RE-emits because their hashes were
+    evicted. The sink therefore holds all three slices — SQL-predictable,
+    and only if eviction actually ran (without it the duplicate batch is
+    suppressed and the row count drops by a third)."""
+    import glob
+    import shutil
+
+    from defuddle_spark.spark.streaming import dedup_exact_stream_watermark
+
+    base = _scratch_dir("defuddle_dedup_wm", sf_dir)
+    inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(inp, exist_ok=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t0 = 1_700_000_000
+    batches = [
+        docs.select("doc_id", "text",
+                    F.timestamp_seconds(F.lit(t0)).alias("ts")),
+        docs.select((F.col("doc_id") + 30000).alias("doc_id"),
+                    F.concat("text", F.lit(" wm-advance")).alias("text"),
+                    F.timestamp_seconds(F.lit(t0 + 100_000)).alias("ts")),
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text",
+                    F.timestamp_seconds(F.lit(t0 + 100_010)).alias("ts")),
+    ]
+    for i, df in enumerate(batches):
+        stage = f"{base}/stage{i}"
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{inp}/b{i}.parquet"
+        os.replace(part, dest)
+        os.utime(dest, (1000 * (i + 1), 1000 * (i + 1)))  # batch order
+        shutil.rmtree(stage, ignore_errors=True)
+    q = dedup_exact_stream_watermark(spark, inp, outp, ckpt,
+                                     dedup_window_ms=3_600_000,
+                                     available_now=True,
+                                     max_files_per_trigger=1)
+    q.awaitTermination()
+    return spark.read.parquet(outp).select("text_md5", "doc_id")
+
+
 def q_minhash_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING MinHash-LSH at the gate: the doubled corpus drains
     through the stateful banding (row-local bit-identical signatures →
@@ -959,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_markdown_pipe": q_extract_markdown_pipe,
         "extract_stream": q_extract_stream,
         "dedup_stream": q_dedup_stream,
+        "dedup_stream_watermark": q_dedup_stream_watermark,
         "minhash_lsh_stream": q_minhash_lsh_stream,
         # round 6: the nine single-extractor gates are folded into this one
         # multi-domain routed gate (driver-window budgeting, VERDICT r5 #1);
@@ -1221,6 +1270,21 @@ def _all_oracles() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS doc_id
             FROM {_DOCS_DOUBLED_SQL}
             GROUP BY md5(text)
+        """,
+        "dedup_stream_watermark": """
+            -- all three batch slices emit: originals (first sight),
+            -- wm-advance docs (new hashes), then the +10000 exact dupes
+            -- RE-emit because the watermark evicted their hashes first
+            SELECT md5(text) AS text_md5, CAST(doc_id AS BIGINT) AS doc_id
+            FROM documents
+            UNION ALL
+            SELECT md5(text || ' wm-advance') AS text_md5,
+                   CAST(doc_id + 30000 AS BIGINT) AS doc_id
+            FROM documents
+            UNION ALL
+            SELECT md5(text) AS text_md5,
+                   CAST(doc_id + 10000 AS BIGINT) AS doc_id
+            FROM documents
         """,
         "extract_markdown": f"""
             -- K1: expected content_markdown per construct family

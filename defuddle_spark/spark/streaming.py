@@ -244,6 +244,104 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+DOCS_TS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def dedup_exact_stream_watermark(spark: SparkSession, input_dir: str,
+                                 output_dir: str, checkpoint_dir: str,
+                                 dedup_window_ms: int = 3_600_000,
+                                 watermark_delay: str = "1 second",
+                                 available_now: bool = True,
+                                 max_files_per_trigger: Optional[int] = None):
+    """Streaming exact dedup with EVENT-TIME (watermark-keyed) eviction —
+    the batch-drain-capable sibling of ``dedup_exact_stream(state_ttl_ms=)``
+    (whose processing-time timers cannot run under availableNow; see its
+    docstring for the measured engine finding).
+
+    Semantics (the ``dropDuplicatesWithinWatermark`` shape, with a
+    deterministic representative): per content hash, the first sighting
+    emits ``(text_md5, min doc_id in that batch)``; later sightings are
+    suppressed while the hash is LIVE and slide its expiry forward
+    (``last event time + dedup_window_ms``, the sliding semantics of the
+    TTL op). A hash whose expiry falls behind the watermark is evicted —
+    by an EventTimeTimeout firing on a later batch when the key is quiet,
+    or inline when new data arrives for an already-expired key, which then
+    RE-EMITS (bounded state / bounded recall, the window-dedup
+    compromise). Because event-time timeouts are driven by watermark
+    advancement from data batches — not wall-clock timers — an
+    availableNow drain terminates normally, so the same operator serves
+    backfill-then-stream deployments.
+
+    State: one (min_id, expires_ms) row per LIVE hash — bounded by the
+    distinct-hash arrival rate within the window rather than corpus size;
+    back with RocksDB at crawl scale (see dedup_exact_stream).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if dedup_window_ms <= 0:
+        raise ValueError(
+            f"dedup_window_ms must be positive (got {dedup_window_ms})")
+
+    def first_seen(key, pdfs, state):
+        import pandas as pd
+        if state.hasTimedOut:
+            state.remove()  # quiet expired hash: evict; later dupes re-emit
+            return
+        wm = state.getCurrentWatermarkMs()
+        best = None
+        max_ts_ms = 0
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None or m < best else best
+            t = int(pdf["ts_ms"].max())
+            max_ts_ms = max(max_ts_ms, t)
+        expires = max_ts_ms + dedup_window_ms
+        if state.exists:
+            old_min, old_exp = state.get
+            if old_exp > wm:  # live: suppress and slide the expiry
+                new_exp = max(int(old_exp), expires)
+                state.update((int(old_min), new_exp))
+                state.setTimeoutTimestamp(max(new_exp, wm + 1))
+                return
+            # expired key receiving data in the same batch the watermark
+            # passed it: treat as evicted and fall through to re-emit
+        state.update((best, expires))
+        # a straggler row can carry expires <= wm; the timeout timestamp
+        # must exceed the watermark, so clamp (the key then evicts on the
+        # very next watermark advance)
+        state.setTimeoutTimestamp(max(expires, wm + 1))
+        yield pd.DataFrame({"text_md5": [key[0]], "doc_id": [best]})
+
+    reader = spark.readStream.schema(DOCS_TS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+    out = (docs
+           .withWatermark("ts", watermark_delay)
+           .withColumn("text_md5", F.md5(F.encode(F.col("text"), "UTF-8")))
+           # epoch millis via double cast: timezone-independent (pandas
+           # datetime64 values are session-tz-localized, epoch casts are not)
+           .withColumn("ts_ms",
+                       (F.col("ts").cast("double") * 1000).cast("long"))
+           .groupBy("text_md5")
+           .applyInPandasWithState(
+               first_seen, _DEDUP_OUT_SCHEMA,
+               "min_id bigint, expires_ms bigint",
+               "append", GroupStateTimeout.EventTimeTimeout))
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str, num_perm: int = 64,
                        bands: int = 16, shingle_k: int = 3,
