@@ -139,14 +139,32 @@ def main() -> None:
     shared: dict = {}
     try:
         import glob
-        prev_files = sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        import re
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def _round_no(path: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", path)
+            return int(m.group(1)) if m else -1
+
+        # "Previous round" = the latest COMPLETED round. CORRECTNESS_r{N}
+        # exists exactly for completed rounds, so cap the BENCH candidates
+        # at max(correctness round): a bench re-run AFTER the driver wrote
+        # this round's own BENCH_r{N}.json must not compare against itself
+        # (the comparison would always read flat — ADVICE r5).
+        corr = [_round_no(p)
+                for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))]
+        cap = max(corr) if corr else None
+        prev_files = sorted(
+            (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+             if cap is None or _round_no(p) <= cap),
+            key=_round_no)
         if prev_files:
             with open(prev_files[-1]) as fh:
                 prev = json.load(fh)
             # the driver's BENCH_r*.json wraps our JSON line under
             # "parsed"; accept both that shape and a raw bench line
-            prev_q = (prev.get("parsed", {}).get("queries")
+            prev_parsed = prev.get("parsed", {}) or {}
+            prev_q = (prev_parsed.get("queries")
                       or prev.get("queries") or {})
             names = [n for n in timings
                      if isinstance(prev_q.get(n), (int, float))]
@@ -159,6 +177,18 @@ def main() -> None:
                 "shared_query_count": len(names),
                 "new_query_count": len(timings) - len(names),
             }
+            # Self-adjudicating platform normalization (VERDICT r5 #7):
+            # the single-core kernel probe runs in both rounds' artifacts,
+            # so the shared sum can be restated in the PREVIOUS round's
+            # platform terms — two consecutive rounds needed manual
+            # probe-based noise adjudication; now the artifact carries it.
+            prev_probe = (prev_parsed.get("kernel_ms_per_doc")
+                          or prev.get("kernel_ms_per_doc"))
+            if prev_probe and probe.get("kernel_ms_per_doc"):
+                ratio = probe["kernel_ms_per_doc"] / float(prev_probe)
+                shared["probe_ratio_vs_prev"] = round(ratio, 4)
+                shared["shared_query_total_probe_normalized"] = round(
+                    shared["shared_query_total"] / ratio, 3)
     except Exception:
         # a malformed prior artifact (wrong shape, null timings, bad
         # JSON) must not fail the bench after the timed work is done

@@ -36,9 +36,16 @@ from pyspark.sql import DataFrame
 
 
 def _iceberg_catalog_configured(spark, table: str) -> bool:
-    """True when the table's catalog prefix has a SparkCatalog binding."""
-    catalog = table.split(".", 1)[0] if "." in table else \
-        spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+    """True when the table resolves to a catalog with a SparkCatalog
+    binding. A dotted prefix is only a catalog name if it HAS a binding —
+    'db.results' may just be namespace.table inside the session's default
+    catalog, so fall back to checking the default catalog's binding
+    before refusing (ADVICE r5)."""
+    if "." in table:
+        prefix = table.split(".", 1)[0]
+        if spark.conf.get(f"spark.sql.catalog.{prefix}", None):
+            return True
+    catalog = spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
     return bool(spark.conf.get(f"spark.sql.catalog.{catalog}", None))
 
 

@@ -205,3 +205,68 @@ def test_result_sink_dispatch(spark, tmp_path):
         write_results(df, "lake.db.results", format="iceberg")
     with pytest.raises(ValueError, match="unsupported sink format"):
         write_results(df, out, format="orc2")
+
+
+def test_iceberg_writer_contract(spark, tmp_path, monkeypatch):
+    """The sandbox ships no Iceberg runtime, so the writeTo branch can't
+    execute — pin the exact DataFrameWriterV2 call sequence instead
+    (VERDICT r5 #4): partitionedBy(col(...)) before the terminal call,
+    append for mode=append, createOrReplace for mode=overwrite, so a
+    catalog-bound deployment can't hit a wrong-method bug the sandbox
+    never ran. Also pins the ADVICE r5 catalog resolution: a dotted
+    prefix WITHOUT a binding falls back to the default catalog's binding
+    instead of refusing."""
+    from defuddle_spark.spark.sinks import write_results
+
+    df = spark.createDataFrame([(1, "a", "en")], ["doc_id", "text", "lang"])
+    calls: list = []
+
+    class FakeWriterV2:
+        def __init__(self, table):
+            calls.append(("writeTo", table))
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", tuple(str(c) for c in cols)))
+            return self
+
+        def append(self):
+            calls.append(("append",))
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace",))
+
+    # patch the CONCRETE class (pyspark 4's pyspark.sql.DataFrame is an
+    # abstract interface whose method the classic subclass overrides)
+    monkeypatch.setattr(type(df), "writeTo",
+                        lambda self, table: FakeWriterV2(table))
+    # bind a catalog for the dotted prefix
+    spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        write_results(df, "lake.db.results", format="iceberg",
+                      mode="append", partition_by=["lang"])
+        assert calls == [("writeTo", "lake.db.results"),
+                         ("partitionedBy", ("Column<'lang'>",)),
+                         ("append",)]
+        calls.clear()
+        write_results(df, "lake.db.results", format="iceberg",
+                      mode="overwrite")
+        assert calls == [("writeTo", "lake.db.results"),
+                         ("createOrReplace",)]
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+
+    # ADVICE r5: 'db.results' where 'db' is a NAMESPACE (no catalog
+    # binding) must resolve through the default catalog's binding
+    calls.clear()
+    spark.conf.set("spark.sql.catalog.spark_catalog",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        write_results(df, "db.results", format="iceberg", mode="append")
+        assert calls == [("writeTo", "db.results"), ("append",)]
+    finally:
+        spark.conf.unset("spark.sql.catalog.spark_catalog")
+
+    # and with no binding anywhere the refusal still fires
+    import pytest
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_results(df, "db.results", format="iceberg")

@@ -368,13 +368,28 @@ def test_streaming_minhash_state_ttl_evicts_bucket(spark, tmp_path):
             time.sleep(0.5)
         raise AssertionError("data batch never committed")
 
+    def wait_state_rows(pred, what, deadline=120):
+        # poll the state-row metric instead of sleeping a fixed interval
+        # (ADVICE r5: on a loaded box a wall-clock gap may precede the
+        # eviction batch and the test flakes)
+        end = time.time() + deadline
+        while time.time() < end:
+            p = q.lastProgress
+            so = (p or {}).get("stateOperators") or []
+            if so and pred(so[0].get("numRowsTotal")):
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"state never {what}")
+
     try:
         bid = wait_data_batch(-1)    # doc 1 ingested, buckets populated
-        time.sleep(2)                # buckets fire timers -> evicted
+        # deterministic eviction gate: the timer batch reports 0 rows
+        wait_state_rows(lambda n: n == 0, "drained")
         pd.DataFrame({"doc_id": [2], "text": [t]}) \
             .to_parquet(in_dir / "b2.parquet")
         wait_data_batch(bid)         # doc 2 lands in (now empty) buckets
-        time.sleep(2)
+        # doc 2's buckets registered in state => its batch fully committed
+        wait_state_rows(lambda n: n and n > 0, "repopulated")
     finally:
         q.stop()
 
