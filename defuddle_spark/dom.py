@@ -144,10 +144,17 @@ _DOCTYPE_RE = re.compile(r"doctype\s*([^\s>]*)\s*(.*)$", re.I | re.S)
 # does NOT set force-quirks (the bogus-DOCTYPE state just eats it), so
 # both identifier-complete alternatives end in `.*`; junk after a
 # public-id-only clause (missing-quote-before-doctype-system-identifier)
-# DOES force quirks, which the quote-or-end alternation preserves.
+# DOES force quirks. Each identifier uses a negated-class body ([^"]* /
+# [^']*) rather than a lazy backreferenced match: backtracking on `(.*?)\1`
+# could extend the public id ACROSS non-quote junk to a later quote,
+# classifying `PUBLIC "id" junk "sys"` as a long public-id-only clause
+# (no quirks) when the spec forces quirks there — the char after the
+# public id's closing quote must be a quote, `>`, or EOF (ADVICE r5).
 _PUBLIC_RE = re.compile(
-    r"public\s*([\"'])(.*?)\1(?:\s*$|\s*([\"'])(.*?)\3.*$)", re.I | re.S)
-_SYSTEM_RE = re.compile(r"system\s*([\"'])(.*?)\1.*$", re.I | re.S)
+    r"public\s*(?:\"([^\"]*)\"|'([^']*)')"
+    r"(?:\s*$|\s*(?:\"([^\"]*)\"|'([^']*)').*$)", re.I | re.S)
+_SYSTEM_RE = re.compile(
+    r"system\s*(?:\"([^\"]*)\"|'([^']*)').*$", re.I | re.S)
 
 
 def _doctype_is_quirky(decl: str) -> bool:
@@ -161,12 +168,15 @@ def _doctype_is_quirky(decl: str) -> bool:
     public_id = system_id = None
     pm = _PUBLIC_RE.match(rest)
     if pm:
-        public_id = pm.group(2).lower()
-        system_id = pm.group(4).lower() if pm.group(4) is not None else None
+        public_id = (pm.group(1) if pm.group(1) is not None
+                     else pm.group(2)).lower()
+        sys_raw = pm.group(3) if pm.group(3) is not None else pm.group(4)
+        system_id = sys_raw.lower() if sys_raw is not None else None
     else:
         sm = _SYSTEM_RE.match(rest)
         if sm:
-            system_id = sm.group(2).lower()
+            system_id = (sm.group(1) if sm.group(1) is not None
+                         else sm.group(2)).lower()
         elif rest:
             return True  # malformed identifier clause: force-quirks
     if public_id is not None:

@@ -519,6 +519,20 @@ QUIRKS_DOCS = [
     ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 3.2 Final//EN" "s" x>'
      "<p>1<table><td>x",
      "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # ADVICE r5: non-quote junk BETWEEN the public and system identifiers
+    # is missing-quote-before-doctype-system-identifier -> force-quirks —
+    # regex backtracking must not stretch the public id across the junk
+    # to the system id's quotes and read it as a long public-id-only form
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" junk '
+     '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+     "<p>1<table><td>x",
+     "<p>1<table><tbody><tr><td>x</td></tr></tbody></table></p>"),
+    # missing whitespace between the identifiers is only a parse error,
+    # not quirks (the system id still parses)
+    ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN"'
+     '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">'
+     "<p>1<table><td>x",
+     "<p>1</p><table><tbody><tr><td>x</td></tr></tbody></table>"),
 ]
 
 
