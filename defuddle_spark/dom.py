@@ -318,9 +318,13 @@ _NO_RECONSTRUCT = frozenset({
 # Insertion contexts that trigger foster parenting, and the start tags that
 # are legal inside them (x/net/html inTableIM; simplified).
 _TABLE_CTX = frozenset({"table", "tbody", "tfoot", "thead", "tr"})
+# NOTE: no "select" here — x/net/html's inTableIM has no select case, so
+# a <select> opened in a table context is "anything else": foster-parented
+# before the table (its in-select-in-table pops still see the table on the
+# open-elements stack).
 _TABLE_ALLOWED = frozenset({
     "caption", "colgroup", "col", "tbody", "tfoot", "thead", "td", "th",
-    "tr", "style", "script", "template", "form", "table", "select",
+    "tr", "style", "script", "template", "form", "table",
 })
 
 
@@ -1306,10 +1310,13 @@ class _TreeBuilder(HTMLParser):
                 self._cur().append(Element("input", self._plain_attrs(attrs)))
                 return
 
-        # A second <form> while one is open is ignored (spec in-body form:
-        # the form element pointer; x/net/html inBodyIM Form case).
+        # A second <form> while the form element pointer is set is ignored
+        # UNLESS a template is open (spec in-body form / x/net/html
+        # inBodyIM Form case: `p.form != nil && !p.hasElement(template)`).
+        # The pointer alone decides — a table-inserted form is popped
+        # immediately yet still blocks later forms.
         if tag == "form" and self.form_ptr is not None and \
-                any(e is self.form_ptr for e in self.stack):
+                not any(e.tag == "template" for e in self.stack):
             return
         # A <button> with a button in scope implies </button> first
         # (spec in-body button start tag).
@@ -1456,7 +1463,10 @@ class _TreeBuilder(HTMLParser):
             self._foster_parent(el)
         else:
             cur.append(el)
-        if tag == "form":
+        if tag == "form" and not any(e.tag == "template" for e in self.stack):
+            # inside a template the pointer stays untouched (spec in-body
+            # form: "if there is no template on the stack ... set the form
+            # element pointer")
             self.form_ptr = el
         if tag not in VOID_ELEMENTS:
             self._push(el, new_ns)
@@ -1517,8 +1527,6 @@ class _TreeBuilder(HTMLParser):
         if self.frameset_doc and tag != "frameset" and (
                 self._cur().tag == "frameset" or self._cur() is self.html):
             return  # in-frameset / after-frameset: end tags ignored
-        if tag == "form":
-            self.form_ptr = None  # spec in-body </form>: clear the pointer
         if self.ns[-1]:
             # Foreign-content end tag (x/net/html parseForeignContent):
             # pop to a case-insensitive match among foreign nodes; hitting
@@ -1529,6 +1537,38 @@ class _TreeBuilder(HTMLParser):
                 if self.stack[i].tag.lower() == tag:
                     self._truncate(i)
                     return
+        if tag == "form":
+            # Spec in-body </form>. Without a template on the stack: the
+            # FORM ELEMENT POINTER (not a tag search) names the node; it
+            # is removed from the open-elements stack by SPLICING — later
+            # elements stay open, so `<form><div></form>x` keeps the div
+            # open (inside the form) and x lands in it. With a template:
+            # ordinary pop-until-form semantics.
+            if not any(el.tag == "template" and not n
+                       for el, n in zip(self.stack, self.ns)):
+                node = self.form_ptr
+                self.form_ptr = None
+                in_scope = False
+                if node is not None:
+                    for i in range(len(self.stack) - 1, -1, -1):
+                        if self.stack[i] is node:
+                            in_scope = True
+                            break
+                        if self._is_scope_stop(i):
+                            break
+                if not in_scope:
+                    return  # parse error: pointer null or out of scope
+                self._generate_implied_end()
+                self._stack_remove(node)
+                return
+            if not self._element_in_scope("form"):
+                return
+            self._generate_implied_end()
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.stack[i].tag == "form" and not self.ns[i]:
+                    self._truncate(i)
+                    return
+            return
         if tag in _FORMATTING:
             self._adoption_agency(tag)
             return

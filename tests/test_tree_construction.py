@@ -1031,3 +1031,89 @@ def test_list_item_loops_respect_foreign_boundaries():
     assert body_of("<dl><dt>a<svg><foreignObject><dd>x</foreignObject>"
                    "</svg></dl>") == \
         "<dl><dt>a<svg><foreignObject><dd>x</dd></foreignObject></svg></dt></dl>"
+
+
+# --- form element pointer (spec in-body form / </form>; round 6) --------
+# x/net/html inBodyIM Form + its </form> splice semantics.
+FORM_POINTER_CASES = [
+    # </form> REMOVES the form from the stack WITHOUT popping later
+    # elements: the div stays open (inside the form) and catches 'after'
+    ("<form><div></form>after</div>tail",
+     "<form><div>after</div></form>tail"),
+    ("<div><form><div></form>z",
+     "<div><form><div>z</div></form></div>"),
+    # </form> with the form OUT OF SCOPE (td boundary) is ignored
+    ("<form><table><tr><td></form>w",
+     "<form><table><tbody><tr><td>w</td></tr></tbody></table></form>"),
+    # implied end tags run first: the p closes, current==form, clean close
+    ("<form><p>x</form>y</p>", "<form><p>x</p></form>y<p></p>"),
+    # a button is NOT implied-closable: splice keeps it open
+    ("<form><button></form>x", "<form><button>x</button></form>"),
+    # the POINTER (not stack membership) blocks a second form — a
+    # table-inserted form is popped immediately yet still blocks
+    ("<table><form></table><form>x", "<table><form></form></table>x"),
+    # in-table form after </form> cleared the pointer: inserted + popped
+    ("<form></form><table><form><tr><td>x</td></tr></table>",
+     "<form></form><table><form></form>"
+     "<tbody><tr><td>x</td></tr></tbody></table>"),
+    # inside a template the pointer is untouched: both forms materialize
+    ("<template><form>a</form><form>b</form></template>",
+     "<template><form>a</form><form>b</form></template>"),
+    # in-table hidden input stays in the table (no fostering)
+    ("<table><form><input type=hidden></table>",
+     '<table><form></form><input type="hidden"/></table>'),
+]
+
+
+@pytest.mark.parametrize("src,want", FORM_POINTER_CASES)
+def test_form_element_pointer(src, want):
+    assert body_of(src) == want
+
+
+# --- select in table context (in-select-in-table; round 6) --------------
+# x/net/html: inTableIM has no select case, so <select> is "anything
+# else" — inserted via inBodyIM WITH foster parenting; table-structure
+# tokens then pop the select and reprocess (inSelectInTableIM).
+SELECT_IN_TABLE_CASES = [
+    ("<table><select><option>1</option><tr><td>c</td></table>",
+     "<select><option>1</option></select>"
+     "<table><tbody><tr><td>c</td></tr></tbody></table>"),
+    ("<table><select><td>c</td></table>",
+     "<select></select><table><tbody><tr><td>c</td></tr></tbody></table>"),
+    # select opened inside a CELL is not fostered; a <tr> still pops it
+    ("<table><tr><td><select><option>1<tr>",
+     "<table><tbody><tr><td><select><option>1</option></select></td></tr>"
+     "<tr></tr></tbody></table>"),
+    # plain in-select (no open table): table tokens are IGNORED
+    ("<select><option>a<table><tr>", "<select><option>a</option></select>"),
+    # nested <table> start pops the fostered select, closes the open
+    # table, and opens a sibling
+    ("<table><select><option>1<table><tr><td>z</td></tr></table>",
+     "<select><option>1</option></select><table></table>"
+     "<table><tbody><tr><td>z</td></tr></tbody></table>"),
+]
+
+
+@pytest.mark.parametrize("src,want", SELECT_IN_TABLE_CASES)
+def test_select_in_table(src, want):
+    assert body_of(src) == want
+
+
+# --- RCDATA character-reference edges (title/textarea; round 6) ---------
+def test_rcdata_charref_edges():
+    """RCDATA text uses TEXT-mode charref rules (legacy no-semicolon names
+    resolve even before `=`/alnum — the attribute-mode exception does NOT
+    apply), and non-matching end tags stay literal."""
+    d = parse("<!DOCTYPE html><title>a &amp; b &notit; &copy</title>"
+              "<body>x</body>")
+    title = next(e for e in d.head.element_children() if e.tag == "title")
+    assert title.text() == "a & b ¬it; ©"
+    assert body_of("<textarea>&lt;b&gt; &amp;&amp &notin; &copy=1"
+                   "</textarea>") == \
+        "<textarea>&lt;b&gt; &amp;&amp; ∉ ©=1</textarea>"
+    # a non-textarea end tag inside RCDATA is literal text
+    assert body_of("<textarea></p>&amp;</textarea>") == \
+        "<textarea>&lt;/p&gt;&amp;</textarea>"
+    d2 = parse("<!DOCTYPE html><title>&lt;/title&gt;</title><body>t</body>")
+    t2 = next(e for e in d2.head.element_children() if e.tag == "title")
+    assert t2.text() == "</title>"
