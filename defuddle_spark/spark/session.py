@@ -25,7 +25,8 @@ def get_spark(cores: int | None = None,
               shuffle_partitions: int | None = None,
               app_name: str = "defuddle-spark",
               arrow_batch_rows: int = 512,
-              arrow_batch_bytes: int = 32 * 1024 * 1024) -> SparkSession:
+              arrow_batch_bytes: int = 32 * 1024 * 1024,
+              extra_conf: dict | None = None) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -44,4 +45,8 @@ def get_spark(cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # last-wins overrides, e.g. spark.ui.enabled=true for tools that
+    # read per-task metrics off the REST API (tools/heavy_tail_bench.py)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
