@@ -1274,17 +1274,21 @@ def _all_oracles() -> dict[str, str]:
         "dedup_stream_watermark": """
             -- all three batch slices emit: originals (first sight),
             -- wm-advance docs (new hashes), then the +10000 exact dupes
-            -- RE-emit because the watermark evicted their hashes first
-            SELECT md5(text) AS text_md5, CAST(doc_id AS BIGINT) AS doc_id
-            FROM documents
+            -- RE-emit because the watermark evicted their hashes first.
+            -- Each slice groups by hash (min doc_id): the operator emits
+            -- ONE row per hash per slice, and real corpora carry a few
+            -- colliding texts (sf0.1 has 4992 distinct over 5000 docs)
+            SELECT md5(text) AS text_md5,
+                   CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY md5(text)
             UNION ALL
             SELECT md5(text || ' wm-advance') AS text_md5,
-                   CAST(doc_id + 30000 AS BIGINT) AS doc_id
-            FROM documents
+                   CAST(min(doc_id) + 30000 AS BIGINT) AS doc_id
+            FROM documents GROUP BY md5(text || ' wm-advance')
             UNION ALL
             SELECT md5(text) AS text_md5,
-                   CAST(doc_id + 10000 AS BIGINT) AS doc_id
-            FROM documents
+                   CAST(min(doc_id) + 10000 AS BIGINT) AS doc_id
+            FROM documents GROUP BY md5(text)
         """,
         "extract_markdown": f"""
             -- K1: expected content_markdown per construct family

@@ -912,6 +912,13 @@ class _TreeBuilder(HTMLParser):
                 return False
         return False
 
+    def _html_template_open(self) -> bool:
+        """Spec "there is a template element on the stack of open
+        elements" — the HTML-namespace element only; a foreign
+        <svg:template> must not trip the form-pointer rules."""
+        return any(el.tag == "template" and not n
+                   for el, n in zip(self.stack, self.ns))
+
     @staticmethod
     def _shallow_clone(el: Element) -> Element:
         return Element(el.tag, [list(p) for p in el.attrs])
@@ -1299,7 +1306,7 @@ class _TreeBuilder(HTMLParser):
         if self._cur().tag in ("table", "tbody", "tfoot", "thead", "tr"):
             if tag == "form":
                 if self.form_ptr is None and \
-                        not any(e.tag == "template" for e in self.stack):
+                        not self._html_template_open():
                     el = Element("form", self._plain_attrs(attrs))
                     self._cur().append(el)
                     self.form_ptr = el
@@ -1316,7 +1323,7 @@ class _TreeBuilder(HTMLParser):
         # The pointer alone decides — a table-inserted form is popped
         # immediately yet still blocks later forms.
         if tag == "form" and self.form_ptr is not None and \
-                not any(e.tag == "template" for e in self.stack):
+                not self._html_template_open():
             return
         # A <button> with a button in scope implies </button> first
         # (spec in-body button start tag).
@@ -1463,7 +1470,7 @@ class _TreeBuilder(HTMLParser):
             self._foster_parent(el)
         else:
             cur.append(el)
-        if tag == "form" and not any(e.tag == "template" for e in self.stack):
+        if tag == "form" and not self._html_template_open():
             # inside a template the pointer stays untouched (spec in-body
             # form: "if there is no template on the stack ... set the form
             # element pointer")
@@ -1544,8 +1551,7 @@ class _TreeBuilder(HTMLParser):
             # elements stay open, so `<form><div></form>x` keeps the div
             # open (inside the form) and x lands in it. With a template:
             # ordinary pop-until-form semantics.
-            if not any(el.tag == "template" and not n
-                       for el, n in zip(self.stack, self.ns)):
+            if not self._html_template_open():
                 node = self.form_ptr
                 self.form_ptr = None
                 in_scope = False

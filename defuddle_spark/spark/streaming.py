@@ -32,6 +32,21 @@ PAGES_SCHEMA = StructType([
 ])
 
 
+def _with_files_per_trigger(reader, max_files_per_trigger: Optional[int]):
+    """Apply maxFilesPerTrigger, rejecting non-positive values eagerly:
+    a truthiness test would silently read an explicit 0 as "no limit",
+    draining the whole directory in one micro-batch — which in the
+    watermark-dedup op means the watermark never advances between staged
+    files and eviction silently never runs."""
+    if max_files_per_trigger is None:
+        return reader
+    if max_files_per_trigger <= 0:
+        raise ValueError("max_files_per_trigger must be positive "
+                         f"(got {max_files_per_trigger}); pass None for "
+                         "no per-trigger limit")
+    return reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+
+
 def extract_pages_stream(spark: SparkSession, input_dir: str, output_dir: str,
                          checkpoint_dir: str,
                          available_now: bool = True,
@@ -43,8 +58,7 @@ def extract_pages_stream(spark: SparkSession, input_dir: str, output_dir: str,
     for a continuously running job.
     """
     reader = (spark.readStream.schema(PAGES_SCHEMA))
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    reader = _with_files_per_trigger(reader, max_files_per_trigger)
     pages = reader.parquet(input_dir)
 
     result = extract_pages(pages.select("url", "html"), with_routing_column=True)
@@ -226,8 +240,7 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
     from pyspark.sql import functions as F
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    reader = _with_files_per_trigger(reader, max_files_per_trigger)
     docs = reader.parquet(input_dir)
     out = (docs
            .withColumn("text_md5", F.md5(F.encode(F.col("text"), "UTF-8")))
@@ -294,12 +307,12 @@ def dedup_exact_stream_watermark(spark: SparkSession, input_dir: str,
             return
         wm = state.getCurrentWatermarkMs()
         best = None
-        max_ts_ms = 0
+        max_ts_ms = None  # true max, valid for pre-epoch (negative) ts too
         for pdf in pdfs:
             m = int(pdf["doc_id"].min())
             best = m if best is None or m < best else best
             t = int(pdf["ts_ms"].max())
-            max_ts_ms = max(max_ts_ms, t)
+            max_ts_ms = t if max_ts_ms is None else max(max_ts_ms, t)
         expires = max_ts_ms + dedup_window_ms
         if state.exists:
             old_min, old_exp = state.get
@@ -318,8 +331,7 @@ def dedup_exact_stream_watermark(spark: SparkSession, input_dir: str,
         yield pd.DataFrame({"text_md5": [key[0]], "doc_id": [best]})
 
     reader = spark.readStream.schema(DOCS_TS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    reader = _with_files_per_trigger(reader, max_files_per_trigger)
     docs = reader.parquet(input_dir)
     out = (docs
            .withWatermark("ts", watermark_delay)
@@ -415,8 +427,7 @@ def minhash_lsh_stream(spark: SparkSession, input_dir: str, output_dir: str,
                                 "id_a": out_a, "id_b": out_b})
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    reader = _with_files_per_trigger(reader, max_files_per_trigger)
     docs = reader.parquet(input_dir)
     banded = (docs
               .select("doc_id",

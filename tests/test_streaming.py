@@ -542,3 +542,16 @@ def test_dedup_watermark_window_guard():
     with pytest.raises(ValueError, match="dedup_window_ms"):
         dedup_exact_stream_watermark(None, "in", "out", "ckpt",
                                      dedup_window_ms=0)
+
+
+def test_max_files_per_trigger_zero_rejected():
+    """An explicit 0 must fail eagerly, not silently mean 'no limit' —
+    in the watermark-dedup op a one-batch drain means the watermark
+    never advances between staged files and eviction never runs."""
+    import pytest
+
+    from defuddle_spark.spark.streaming import _with_files_per_trigger
+    assert _with_files_per_trigger("reader-sentinel", None) == "reader-sentinel"
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="must be positive"):
+            _with_files_per_trigger("reader-sentinel", bad)

@@ -1062,6 +1062,16 @@ FORM_POINTER_CASES = [
     # in-table hidden input stays in the table (no fostering)
     ("<table><form><input type=hidden></table>",
      '<table><form></form><input type="hidden"/></table>'),
+    # a FOREIGN <svg:template> is not "a template on the stack": the
+    # pointer still arms inside the foreignObject (HTML rules), so the
+    # second <form> is ignored
+    ("<svg><template><foreignObject><form>a<form>b</form>"
+     "</foreignObject></template></svg>",
+     "<svg><template><foreignObject><form>ab</form>"
+     "</foreignObject></template></svg>"),
+    # ... and </form> splices via the pointer there too (div stays open)
+    ("<svg><foreignObject><form><div>x</form>y</foreignObject></svg>",
+     "<svg><foreignObject><form><div>xy</div></form></foreignObject></svg>"),
 ]
 
 

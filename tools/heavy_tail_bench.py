@@ -115,36 +115,48 @@ def main() -> None:
     sink = lambda df: df.agg(F.sum("word_count")).collect()
 
     def task_metrics(group: str) -> dict:
-        """Per-task durations for every stage of the tagged job(s),
-        via the REST API (attributed by jobGroup)."""
-        jobs = _rest(ui, f"applications/{app_id}/jobs?status=succeeded")
+        """Per-task durations for every stage of the tagged job(s), via
+        the REST API (attributed by jobGroup). All job statuses are
+        scanned and each stage is read at its LATEST attempt — reading
+        only succeeded jobs / attempt 0 would silently drop evidence
+        from exactly the retried/speculated stages a straggler bench
+        provokes; any stage that still can't be read is surfaced in
+        ``skipped_stages`` instead of vanishing from the numbers."""
+        jobs = _rest(ui, f"applications/{app_id}/jobs")
         stage_ids = set()
         for j in jobs:
             if j.get("jobGroup") == group:
                 stage_ids.update(j.get("stageIds", []))
         durs = []
+        skipped = []
         for sid in sorted(stage_ids):
             try:
+                attempts = _rest(ui, f"applications/{app_id}/stages/{sid}")
+                latest = max(a.get("attemptId", 0) for a in attempts)
                 tasks = _rest(
-                    ui, f"applications/{app_id}/stages/{sid}/0/taskList"
-                        "?length=10000")
+                    ui, f"applications/{app_id}/stages/{sid}/{latest}"
+                        "/taskList?length=10000")
             except Exception:
+                skipped.append(sid)
                 continue
             durs.extend(t["duration"] / 1000.0 for t in tasks
                         if "duration" in t)
         if not durs:
-            return {}
+            return {"skipped_stages": skipped} if skipped else {}
         durs.sort()
         # p50 over substantive tasks only: the two-tier plans carry
         # near-empty scatter/scan tasks (ms-scale) that would drag the
         # median to zero and make the max/p50 ratio meaningless
         kernel = [d for d in durs if d >= 1.0] or durs
-        return {
+        out = {
             "n_tasks": len(durs),
             "p50_kernel_task_sec": round(kernel[len(kernel) // 2], 3),
             "max_task_sec": round(durs[-1], 3),
             "sum_task_sec": round(sum(durs), 3),
         }
+        if skipped:
+            out["skipped_stages"] = skipped
+        return out
 
     def run(name: str, rep: int, thr) -> tuple[float, str]:
         group = f"{name}-rep{rep}"
