@@ -1,0 +1,299 @@
+"""WARC (ISO 28500) source: the format web-scale corpora arrive in.
+
+The reference takes HTML strings / fetched URLs (defuddle.go:89-108,
+ParseFromURL); at 100 TB pages arrive as Common-Crawl-style WARC
+archives instead — ~1 GB gzip files, one gzip member per record, ~64k
+files per crawl. This module turns a directory of them into the
+pipeline's pages DataFrame (url, warc_ts, html) with nothing but the
+stdlib: WARC is line-oriented headers + a Content-Length payload, and
+multi-member gzip decodes incrementally with zlib.
+
+Scale design:
+- Distribution unit = the WARC FILE (gzip members are not splittable
+  mid-stream without an index): `spark.read.format("binaryFile")`
+  ships whole files through the JVM's Hadoop-FS channel (works on
+  s3a/hdfs/local alike, with partition pruning on the path), and a
+  mapInPandas generator parses records incrementally — compressed
+  bytes are held once per task, the decompressed stream is never
+  materialized whole. A crawl's ~64k files dwarf any cluster's task
+  slots, so per-file parallelism saturates executors without a
+  shuffle.
+- Arrow cells cap at 2 GB, so files beyond ~1.5 GB compressed should
+  be pre-split (Common Crawl's own 1 GB convention fits with room).
+- Output batches flush every ``batch_rows`` records so a 1 GB archive
+  never pins its full decoded contents in one Arrow batch.
+
+The HTTP payload is kept as raw bytes (``html`` binary column):
+charset sniffing belongs to the kernel (kernel.py decode_html), same
+as the parquet pages path. Chunked transfer-encoding is de-chunked
+and a gzip/deflate Content-Encoding is decoded here, because those
+are transport artifacts of the capture, not page bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from email.utils import parsedate_to_datetime
+from typing import Iterable, Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (BinaryType, IntegerType, StringType,
+                               StructField, StructType, TimestampType)
+
+WARC_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("warc_type", StringType()),
+    StructField("record_id", StringType()),
+    StructField("content_type", StringType()),
+    StructField("http_status", IntegerType()),
+    StructField("http_content_type", StringType()),
+    StructField("warc_path", StringType()),
+])
+
+
+class _Stream:
+    """Buffered reader over raw-or-multi-member-gzip bytes with the two
+    primitives WARC parsing needs (readline, read-exactly-n), decoding
+    lazily so the full decompressed archive never sits in memory."""
+
+    _CHUNK = 1 << 20
+
+    def __init__(self, raw: bytes):
+        self._gzip = raw[:2] == b"\x1f\x8b"
+        self._raw = memoryview(raw)
+        self._pos = 0
+        self._buf = bytearray()
+        self._z = zlib.decompressobj(wbits=31) if self._gzip else None
+
+    def _fill(self, need: int) -> None:
+        while len(self._buf) < need:
+            if not self._gzip:
+                if self._pos >= len(self._raw):
+                    break
+                take = self._raw[self._pos:self._pos + need - len(self._buf)]
+                self._pos += len(take)
+                self._buf += take
+                continue
+            z = self._z
+            if z.eof:
+                # Member finished. The next member's bytes may sit in
+                # unused_data / unconsumed_tail — measured on CPython's
+                # zlib: at eof under max_length BOTH are set and hold the
+                # SAME remaining bytes (concatenating would duplicate the
+                # next member), and re-feeding unconsumed_tail on the
+                # finished object returns 0 bytes forever. So this eof
+                # check MUST precede the unconsumed_tail re-feed, and the
+                # leftover is one of the two, not their sum.
+                rest = bytes(z.unused_data or z.unconsumed_tail)
+                self._z = zlib.decompressobj(wbits=31)
+                if rest:
+                    self._buf += self._z.decompress(rest, self._CHUNK)
+                elif self._pos >= len(self._raw):
+                    break
+                continue
+            if z.unconsumed_tail:
+                # max_length left compressed input unconsumed: it MUST be
+                # re-fed before any new chunk, or bytes are silently lost
+                self._buf += z.decompress(z.unconsumed_tail, self._CHUNK)
+                continue
+            if self._pos >= len(self._raw):
+                tail = z.flush()
+                if tail:
+                    self._buf += tail
+                break
+            chunk = bytes(self._raw[self._pos:self._pos + self._CHUNK])
+            self._pos += len(chunk)
+            self._buf += z.decompress(chunk, self._CHUNK)
+
+    def readline(self, limit: int = 1 << 16) -> bytes:
+        probe = 256
+        while True:
+            self._fill(probe)
+            i = self._buf.find(b"\n")
+            if i != -1 or len(self._buf) < probe or probe >= limit:
+                break
+            probe *= 2
+        if i == -1:
+            i = len(self._buf) - 1
+            if i < 0:
+                return b""
+        line = bytes(self._buf[:i + 1])
+        del self._buf[:i + 1]
+        return line
+
+    def read(self, n: int) -> bytes:
+        self._fill(n)
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+
+def _parse_headers(stream: _Stream) -> Optional[dict]:
+    """Read a WARC or HTTP header block up to the blank line; keys
+    lower-cased; returns None at end of stream."""
+    headers: dict = {}
+    started = False
+    while True:
+        line = stream.readline()
+        if not line:
+            return headers if started else None
+        if line in (b"\r\n", b"\n"):
+            if started:
+                return headers
+            continue  # tolerate stray blank lines between records
+        started = True
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+        else:
+            headers.setdefault("_start_line", []).append(
+                line.strip().decode("latin-1"))
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = io.BytesIO()
+    s = _Stream(body)
+    while True:
+        line = s.readline()
+        if not line:
+            break
+        try:
+            size = int(line.strip().split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out.write(s.read(size))
+        s.readline()  # trailing CRLF after each chunk
+    return out.getvalue()
+
+
+def _decode_http_payload(payload: bytes):
+    """Split an application/http;msgtype=response payload into
+    (status, content_type, body), undoing chunked transfer-encoding and
+    gzip/deflate content-encoding (capture-transport artifacts)."""
+    s = _Stream(payload)
+    status_line = s.readline()
+    status = None
+    parts = status_line.split()
+    if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    headers = _parse_headers(s) or {}
+    body = s.read(len(payload))  # rest of the stream
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    try:
+        if "gzip" in enc:
+            body = zlib.decompress(body, wbits=47)
+        elif "deflate" in enc:
+            body = zlib.decompress(body, wbits=-15) if body[:1] not in (
+                b"\x78",) else zlib.decompress(body)
+    except zlib.error:
+        pass  # keep raw bytes; the kernel records a decode error per-row
+    return status, headers.get("content-type"), body
+
+
+def iter_warc_records(raw: bytes) -> Iterator[dict]:
+    """Yield per-record dicts from one WARC file's raw bytes (plain or
+    multi-member gzip). Keys: warc headers (lower-cased) plus
+    ``payload`` bytes. Malformed trailing garbage ends iteration
+    rather than raising: a truncated tail record is a capture artifact
+    the other records shouldn't pay for."""
+    stream = _Stream(raw)
+    while True:
+        headers = _parse_headers(stream)
+        if headers is None:
+            return
+        if not any(v.startswith("WARC/") for v in
+                   headers.get("_start_line", [])):
+            return  # lost framing: stop rather than misattribute bytes
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = stream.read(length)
+        if len(payload) < length:
+            return  # truncated tail record
+        headers["payload"] = payload
+        yield headers
+
+
+def _records_to_rows(path: str, raw: bytes,
+                     warc_types: tuple) -> Iterator[dict]:
+    import pandas as pd
+
+    for rec in iter_warc_records(raw):
+        wtype = rec.get("warc-type", "")
+        if warc_types and wtype not in warc_types:
+            continue
+        ctype = rec.get("content-type", "")
+        status = None
+        http_ctype = None
+        body = rec["payload"]
+        if ctype.startswith("application/http"):
+            status, http_ctype, body = _decode_http_payload(body)
+        ts = None
+        raw_ts = rec.get("warc-date")
+        if raw_ts:
+            try:  # WARC-Date is ISO 8601 (RFC 3339), e.g. ...T...Z
+                ts = pd.Timestamp(raw_ts)
+                if ts.tzinfo is not None:
+                    ts = ts.tz_convert("UTC").tz_localize(None)
+            except ValueError:
+                try:
+                    ts = pd.Timestamp(parsedate_to_datetime(raw_ts))
+                except (TypeError, ValueError):
+                    ts = None
+        yield {
+            "url": rec.get("warc-target-uri"),
+            "warc_ts": ts,
+            "html": body,
+            "warc_type": wtype,
+            "record_id": rec.get("warc-record-id"),
+            "content_type": ctype,
+            "http_status": status,
+            "http_content_type": http_ctype,
+            "warc_path": path,
+        }
+
+
+def read_warc(spark: SparkSession, path: str,
+              warc_types: Iterable[str] = ("response",),
+              batch_rows: int = 256) -> DataFrame:
+    """Read WARC archives into the pages shape: one row per (matching)
+    record with (url, warc_ts, html binary, ...) — feed
+    ``.select("url", "html")`` straight into extract_pages. ``path``
+    accepts the binaryFile source's globs (s3a/hdfs/local).
+
+    ``warc_types`` filters records (Common Crawl responses by default;
+    pass () for everything — request/metadata/warcinfo records
+    included). Non-HTTP records keep their raw payload in ``html``.
+    """
+    types = tuple(warc_types or ())
+
+    def gen(batches):
+        import pandas as pd
+
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for row in _records_to_rows(path_, bytes(content), types):
+                    rows.append(row)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
