@@ -57,7 +57,13 @@ WARC_SCHEMA = StructType([
 class _Stream:
     """Buffered reader over raw-or-multi-member-gzip bytes with the two
     primitives WARC parsing needs (readline, read-exactly-n), decoding
-    lazily so the full decompressed archive never sits in memory."""
+    lazily so the full decompressed archive never sits in memory.
+
+    Corrupt compressed data (a flipped CRC bit, trailing non-gzip
+    garbage after the last member) ends the stream instead of raising:
+    one bad byte in a 100 TB crawl must not fail the task, and the
+    record loop already treats a short read as a truncated-tail
+    capture artifact."""
 
     _CHUNK = 1 << 20
 
@@ -66,14 +72,34 @@ class _Stream:
         self._raw = memoryview(raw)
         self._pos = 0
         self._buf = bytearray()
+        self._off = 0  # read cursor into _buf; compacted lazily
+        self._dead = False
         self._z = zlib.decompressobj(wbits=31) if self._gzip else None
 
+    def _avail(self) -> int:
+        return len(self._buf) - self._off
+
+    def _compact(self) -> None:
+        # One memmove per ~CHUNK consumed instead of one per readline:
+        # with small records over a single-member gzip the per-call
+        # del _buf[:k] pattern memmoves the ~0.5 MB residue for every
+        # header line (~800 MB moved per MB parsed).
+        if self._off > self._CHUNK or self._off >= len(self._buf):
+            del self._buf[:self._off]
+            self._off = 0
+
     def _fill(self, need: int) -> None:
-        while len(self._buf) < need:
+        try:
+            self._fill_inner(need)
+        except zlib.error:
+            self._dead = True
+
+    def _fill_inner(self, need: int) -> None:
+        while self._avail() < need and not self._dead:
             if not self._gzip:
                 if self._pos >= len(self._raw):
                     break
-                take = self._raw[self._pos:self._pos + need - len(self._buf)]
+                take = self._raw[self._pos:self._pos + need - self._avail()]
                 self._pos += len(take)
                 self._buf += take
                 continue
@@ -112,22 +138,46 @@ class _Stream:
         probe = 256
         while True:
             self._fill(probe)
-            i = self._buf.find(b"\n")
-            if i != -1 or len(self._buf) < probe or probe >= limit:
+            i = self._buf.find(b"\n", self._off)
+            if i != -1 or self._avail() < probe:
                 break
+            if probe >= limit:
+                # Overlong line (e.g. a >64 KB WARC-Target-URI): keep
+                # framing intact — return the truncated prefix but
+                # CONSUME through the real newline so the rest of the
+                # line can't masquerade as the next header.
+                head = bytes(self._buf[self._off:self._off + limit])
+                self._off += limit
+                self._compact()
+                while True:  # discard to the line's real end
+                    j = self._buf.find(b"\n", self._off)
+                    if j != -1:
+                        self._off = j + 1
+                        break
+                    self._off = len(self._buf)
+                    self._compact()
+                    self._fill(self._CHUNK)
+                    if self._avail() == 0:
+                        break
+                self._compact()
+                return head
             probe *= 2
         if i == -1:
             i = len(self._buf) - 1
-            if i < 0:
+            if i < self._off:
                 return b""
-        line = bytes(self._buf[:i + 1])
-        del self._buf[:i + 1]
+        line = bytes(self._buf[self._off:i + 1])
+        self._off = i + 1
+        self._compact()
         return line
 
     def read(self, n: int) -> bytes:
+        if n <= 0:
+            return b""
         self._fill(n)
-        out = bytes(self._buf[:n])
-        del self._buf[:n]
+        out = bytes(self._buf[self._off:self._off + n])
+        self._off += len(out)
+        self._compact()
         return out
 
 
@@ -173,10 +223,39 @@ def _dechunk(body: bytes) -> bytes:
     return out.getvalue()
 
 
+def _gunzip_members(body: bytes) -> bytes:
+    """Decode ALL gzip members of a Content-Encoding: gzip body — some
+    servers/CDNs emit multi-member streams, and one-shot
+    zlib.decompress(wbits=47) silently stops after the first member. A
+    truncated final member or trailing garbage keeps what decoded."""
+    out = io.BytesIO()
+    data = body
+    while data:
+        z = zlib.decompressobj(wbits=47)
+        try:
+            out.write(z.decompress(data))
+        except zlib.error:
+            break
+        if not z.eof:
+            break  # truncated final member
+        data = z.unused_data
+    return out.getvalue()
+
+
+def _zlib_wrapped(b: bytes) -> bool:
+    """RFC 1950 header check: CM == 8 and the CMF/FLG pair a multiple
+    of 31 — first-byte-is-0x78 misses valid windows below 32K
+    (CMF 0x08..0x68)."""
+    return (len(b) >= 2 and (b[0] & 0x0F) == 8
+            and ((b[0] << 8) | b[1]) % 31 == 0)
+
+
 def _decode_http_payload(payload: bytes):
     """Split an application/http;msgtype=response payload into
     (status, content_type, body), undoing chunked transfer-encoding and
-    gzip/deflate content-encoding (capture-transport artifacts)."""
+    gzip/deflate content-encoding (capture-transport artifacts).
+    Undecodable bodies keep their raw bytes; the kernel records a
+    decode error per-row."""
     s = _Stream(payload)
     status_line = s.readline()
     status = None
@@ -191,14 +270,21 @@ def _decode_http_payload(payload: bytes):
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").lower()
-    try:
-        if "gzip" in enc:
-            body = zlib.decompress(body, wbits=47)
-        elif "deflate" in enc:
-            body = zlib.decompress(body, wbits=-15) if body[:1] not in (
-                b"\x78",) else zlib.decompress(body)
-    except zlib.error:
-        pass  # keep raw bytes; the kernel records a decode error per-row
+    if "gzip" in enc:
+        decoded = _gunzip_members(body)
+        if decoded:
+            body = decoded
+    elif "deflate" in enc:
+        # Spec says zlib-wrapped, the wild serves raw too: pick the
+        # branch the RFC 1950 header says, fall back to the other.
+        order = ((zlib.MAX_WBITS, -zlib.MAX_WBITS) if _zlib_wrapped(body)
+                 else (-zlib.MAX_WBITS, zlib.MAX_WBITS))
+        for wb in order:
+            try:
+                body = zlib.decompress(body, wbits=wb)
+                break
+            except zlib.error:
+                continue
     return status, headers.get("content-type"), body
 
 
@@ -220,6 +306,8 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            return  # malformed framing: stop rather than misattribute
         payload = stream.read(length)
         if len(payload) < length:
             return  # truncated tail record

@@ -123,6 +123,101 @@ def test_decode_http_payload_transport_artifacts():
         assert got == body, kw
 
 
+def test_iter_warc_records_corrupt_gzip_ends_not_raises():
+    """A flipped byte mid-archive or trailing non-gzip garbage must end
+    iteration (capture artifact), never crash the task."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    good = gzip.compress(
+        _warc_record("https://w.example.test/0", _http_payload(_page(0))))
+    # trailing garbage after the last member
+    recs = list(iter_warc_records(good + b"\x00garbage-not-gzip\xff" * 4))
+    assert [r["warc-target-uri"] for r in recs] == \
+        ["https://w.example.test/0"]
+    # corrupted second member (CRC byte flipped)
+    bad = bytearray(gzip.compress(
+        _warc_record("https://w.example.test/1", _http_payload(_page(1)))))
+    bad[-5] ^= 0xFF
+    recs = list(iter_warc_records(good + bytes(bad)))
+    assert [r["warc-target-uri"] for r in recs] == \
+        ["https://w.example.test/0"]
+
+
+def test_iter_warc_records_negative_content_length():
+    """Content-Length: -1 must stop iteration, not slice the buffer
+    from the end and swallow the following record."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    evil = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://w.example.test/evil\r\n"
+            b"Content-Length: -1\r\n\r\n")
+    after = _warc_record("https://w.example.test/after",
+                         _http_payload(_page(9)))
+    recs = list(iter_warc_records(evil + after))
+    assert recs == []
+    # and a valid record BEFORE the malformed one still survives
+    before = _warc_record("https://w.example.test/before",
+                          _http_payload(_page(8)))
+    recs = list(iter_warc_records(before + evil + after))
+    assert [r["warc-target-uri"] for r in recs] == \
+        ["https://w.example.test/before"]
+
+
+def test_decode_http_payload_multimember_gzip_body():
+    """Multi-member gzip Content-Encoding bodies decode fully — a
+    one-shot zlib.decompress stops silently after member one."""
+    from defuddle_spark.spark.warc import _decode_http_payload
+    part1, part2 = _page(4), b"<!-- tail member -->"
+    body = gzip.compress(part1) + gzip.compress(part2)
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Content-Encoding: gzip\r\n"
+               b"Content-Length: " + str(len(body)).encode()
+               + b"\r\n\r\n" + body)
+    status, _, got = _decode_http_payload(payload)
+    assert status == 200
+    assert got == part1 + part2
+
+
+def test_decode_http_payload_deflate_variants():
+    """Content-Encoding: deflate — zlib-wrapped (incl. window sizes
+    below 32K whose CMF byte is not 0x78) and raw-deflate both decode."""
+    import zlib
+
+    from defuddle_spark.spark.warc import _decode_http_payload
+    body = _page(5)
+    small = zlib.compressobj(wbits=9)
+    variants = [
+        zlib.compress(body),                             # 0x78 CMF
+        small.compress(body) + small.flush(),            # 0x18 CMF
+        zlib.compress(body)[2:-4],                       # raw deflate
+    ]
+    for enc_body in variants:
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                   b"Content-Encoding: deflate\r\n"
+                   b"Content-Length: " + str(len(enc_body)).encode()
+                   + b"\r\n\r\n" + enc_body)
+        status, _, got = _decode_http_payload(payload)
+        assert status == 200
+        assert got == body, enc_body[:2].hex()
+
+
+def test_iter_warc_records_overlong_header_line():
+    """A >64 KB header value is truncated but framing survives: the
+    line is consumed through its real newline, the record's payload is
+    intact, and the next record still parses."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    huge_url = "https://w.example.test/q?" + "a" * (200_000)
+    rec = _warc_record(huge_url, _http_payload(_page(6)),
+                       rec_id=b"<urn:uuid:huge>")
+    after = _warc_record("https://w.example.test/after",
+                         _http_payload(_page(7)),
+                         rec_id=b"<urn:uuid:after>")
+    recs = list(iter_warc_records(rec + after))
+    assert len(recs) == 2
+    assert recs[0]["warc-target-uri"].startswith(
+        "https://w.example.test/q?aaa")
+    assert recs[0]["payload"].endswith(_page(6))
+    assert recs[1]["warc-target-uri"] == "https://w.example.test/after"
+
+
 def test_read_warc_spark(spark, tmp_path):
     from pyspark.sql import functions as F
 
