@@ -354,6 +354,67 @@ def _records_to_rows(path: str, raw: bytes,
         }
 
 
+def build_http_response(body: bytes, status: int = 200,
+                        content_type: bytes = b"text/html; charset=utf-8",
+                        transport: str = "identity") -> bytes:
+    """Serialize an HTTP/1.1 response payload for a WARC response
+    record. ``transport`` applies a capture-transport artifact the
+    reader must undo: ``identity`` | ``chunked`` | ``gzip`` |
+    ``deflate`` (zlib-wrapped). Deterministic bytes for fixed inputs."""
+    headers = [b"HTTP/1.1 " + str(status).encode() + b" OK",
+               b"Content-Type: " + content_type]
+    if transport == "gzip":
+        body = gzip_compress(body)
+        headers.append(b"Content-Encoding: gzip")
+    elif transport == "deflate":
+        body = zlib.compress(body)
+        headers.append(b"Content-Encoding: deflate")
+    if transport == "chunked":
+        headers.append(b"Transfer-Encoding: chunked")
+        half = max(1, len(body) // 2)
+        body = (format(half, "x").encode() + b"\r\n" + body[:half]
+                + b"\r\n" + format(len(body) - half, "x").encode()
+                + b"\r\n" + body[half:] + b"\r\n0\r\n\r\n")
+    else:
+        headers.append(b"Content-Length: " + str(len(body)).encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body
+
+
+def build_warc_record(payload: bytes, url: Optional[str] = None,
+                      warc_type: str = "response",
+                      content_type: str = "application/http; "
+                                          "msgtype=response",
+                      date: str = "2024-03-01T12:00:00Z",
+                      record_id: str = "<urn:uuid:0>") -> bytes:
+    """Serialize one WARC/1.0 record (headers + payload + the spec's
+    two trailing CRLF)."""
+    head = ["WARC/1.0",
+            "WARC-Type: " + warc_type,
+            "WARC-Date: " + date,
+            "WARC-Record-ID: " + record_id,
+            "Content-Type: " + content_type,
+            "Content-Length: " + str(len(payload))]
+    if url is not None:
+        head.insert(2, "WARC-Target-URI: " + url)
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def gzip_compress(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime pinned to 0 so identical
+    inputs give identical archive bytes)."""
+    import gzip as _gzip
+    return _gzip.compress(data, mtime=0)
+
+
+def build_warc_archive(records: Iterable[bytes],
+                       gzip_members: bool = True) -> bytes:
+    """Concatenate serialized records into one archive — Common Crawl's
+    member-per-record gzip convention by default."""
+    if gzip_members:
+        return b"".join(gzip_compress(r) for r in records)
+    return b"".join(records)
+
+
 def read_warc(spark: SparkSession, path: str,
               warc_types: Iterable[str] = ("response",),
               batch_rows: int = 256) -> DataFrame:
