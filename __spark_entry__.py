@@ -95,6 +95,29 @@ from defuddle_spark.ops.textstats import BPE_TOKEN_RE as _BPE_RE
 _BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
 
 
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Conf bracket bounding the stateful-streaming gates' state-store
+    partition count to the gate corpus (~5k keys): every micro-batch
+    pays one state-store task + Python worker round-trip PER PARTITION,
+    so 32 partitions × N batches dominates gate wall-clock (measured on
+    the watermark gate at sf0.01: 26 s at 32 → 11 s at 8). The value is
+    pinned into the checkpoint at first start, so it brackets the whole
+    run; a production deployment sizes it to cluster cores × key volume
+    instead. Restores the session conf on exit (batch gates keep 32)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def bracket():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+    return bracket()
+
+
 def _scratch_dir(prefix: str, sf_dir: str) -> str:
     """Per-process gate scratch dir under /tmp (the returned frames are
     collected lazily AFTER the query function returns, so the files must
@@ -309,8 +332,9 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("defuddle_dedup_stream", sf_dir)
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     _docs_doubled(spark, sf_dir).coalesce(1).write.parquet(inp)
-    q = dedup_exact_stream(spark, inp, outp, ckpt, available_now=True)
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = dedup_exact_stream(spark, inp, outp, ckpt, available_now=True)
+        q.awaitTermination()
     return spark.read.parquet(outp).select("text_md5", "doc_id")
 
 
@@ -354,11 +378,12 @@ def q_dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(part, dest)
         os.utime(dest, (1000 * (i + 1), 1000 * (i + 1)))  # batch order
         shutil.rmtree(stage, ignore_errors=True)
-    q = dedup_exact_stream_watermark(spark, inp, outp, ckpt,
-                                     dedup_window_ms=3_600_000,
-                                     available_now=True,
-                                     max_files_per_trigger=1)
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = dedup_exact_stream_watermark(spark, inp, outp, ckpt,
+                                         dedup_window_ms=3_600_000,
+                                         available_now=True,
+                                         max_files_per_trigger=1)
+        q.awaitTermination()
     return spark.read.parquet(outp).select("text_md5", "doc_id")
 
 
@@ -384,8 +409,9 @@ def q_minhash_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
      .filter((F.col("doc_id") % 10000) < 100)
      .repartition(par)
      .write.parquet(inp))
-    q = minhash_lsh_stream(spark, inp, outp, ckpt, available_now=True)
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = minhash_lsh_stream(spark, inp, outp, ckpt, available_now=True)
+        q.awaitTermination()
     return (spark.read.parquet(outp)
             .filter((F.col("id_b") - F.col("id_a") == 10000)
                     & (F.col("id_a") < 10000))
