@@ -33,6 +33,7 @@ are transport artifacts of the capture, not page bytes.
 from __future__ import annotations
 
 import io
+import os
 import zlib
 from email.utils import parsedate_to_datetime
 from typing import Iterable, Iterator, Optional
@@ -446,3 +447,83 @@ def read_warc(spark: SparkSession, path: str,
 
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+WARC_WRITE_SCHEMA = StructType([
+    StructField("warc_path", StringType()),
+    StructField("records", IntegerType()),
+])
+
+
+def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
+               gzip_members: bool = True) -> DataFrame:
+    """Re-emit a pages-shaped DataFrame (``url`` + ``html`` binary;
+    ``warc_ts``/``http_status`` used when present) as WARC/1.0 response
+    archives — the round-trip sink for filtered/deduped corpora, so a
+    downstream crawler-toolchain consumer never leaves the archive
+    format. Returns a lazy manifest DataFrame (warc_path, records);
+    trigger it with an action. One writer task per input partition,
+    ``records_per_file`` records per archive file (member-per-record
+    gzip by default, read_warc's convention) — repartition the input to
+    size files for the target store (e.g. ~1 GB, Common Crawl's
+    convention).
+
+    Files are written with local ``open()`` on each executor:
+    ``out_dir`` must be a shared/posix path (local, NFS, fuse-mounted
+    object store). Writing through the JVM's Hadoop-FS channel for raw
+    s3a/hdfs URIs is deliberately out of scope here — Spark exposes no
+    binary-file writer, and this sandbox can't exercise one.
+    """
+    has_ts = "warc_ts" in df.columns
+    has_status = "http_status" in df.columns
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        os.makedirs(out_dir, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.gz" if gzip_members else ".warc"
+        state = {"seq": 0, "records": []}
+
+        def flush():
+            recs = state["records"]
+            if not recs:
+                return []
+            name = os.path.join(
+                out_dir, f"part-{pid:05d}-{state['seq']:05d}{ext}")
+            with open(name, "wb") as fh:
+                fh.write(build_warc_archive(recs, gzip_members))
+            state["seq"] += 1
+            state["records"] = []
+            return [{"warc_path": name, "records": len(recs)}]
+
+        manifest = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ts = getattr(row, "warc_ts", None) if has_ts else None
+                date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and not pd.isna(ts)
+                        else "1970-01-01T00:00:00Z")
+                status = (int(row.http_status) if has_status
+                          and row.http_status is not None
+                          and not pd.isna(row.http_status) else 200)
+                html = bytes(row.html) if row.html is not None else b""
+                rec_id = "<urn:md5:" + hashlib.md5(
+                    (row.url or "").encode()).hexdigest() + ">"
+                state["records"].append(build_warc_record(
+                    build_http_response(html, status=status),
+                    url=row.url, date=date, record_id=rec_id))
+                if len(state["records"]) >= records_per_file:
+                    manifest.extend(flush())
+            if manifest:
+                yield pd.DataFrame(manifest,
+                                   columns=["warc_path", "records"])
+                manifest = []
+        manifest.extend(flush())
+        if manifest:
+            yield pd.DataFrame(manifest, columns=["warc_path", "records"])
+
+    return df.mapInPandas(gen, WARC_WRITE_SCHEMA)

@@ -218,6 +218,47 @@ def test_iter_warc_records_overlong_header_line():
     assert recs[1]["warc-target-uri"] == "https://w.example.test/after"
 
 
+def test_write_warc_roundtrip(spark, tmp_path):
+    """write_warc → read_warc is lossless for (url, warc_ts, html,
+    http_status); manifest rows account for every record; the
+    records_per_file split produces multiple archives per partition."""
+    import datetime
+
+    from pyspark.sql import Row, functions as F
+
+    from defuddle_spark.spark.warc import read_warc, write_warc
+
+    ts = datetime.datetime(2024, 5, 6, 7, 8, 9)
+    pages = spark.createDataFrame([
+        Row(url=f"https://rt.example.test/{i}", warc_ts=ts,
+            html=_page(i), http_status=200 + (i % 2))
+        for i in range(10)
+    ]).repartition(2)
+    out = str(tmp_path / "emitted")
+    manifest = write_warc(pages, out, records_per_file=3).collect()
+    assert sum(m["records"] for m in manifest) == 10
+    assert len(manifest) >= 4  # 2 partitions x ceil(5/3)
+    back = {r["url"]: r for r in read_warc(spark, out).collect()}
+    assert sorted(back) == sorted(f"https://rt.example.test/{i}"
+                                  for i in range(10))
+    for i in range(10):
+        r = back[f"https://rt.example.test/{i}"]
+        assert bytes(r["html"]) == _page(i)
+        assert r["http_status"] == 200 + (i % 2)
+        assert r["warc_ts"].isoformat() == "2024-05-06T07:08:09"
+
+    # plain (non-gzip) archives round-trip too
+    out2 = str(tmp_path / "emitted_plain")
+    write_warc(pages.select("url", "html"), out2,
+               gzip_members=False).collect()
+    back2 = read_warc(spark, out2)
+    assert back2.count() == 10
+    # no ts/status columns in the input -> epoch date + 200 default
+    one = back2.filter(F.col("url") == "https://rt.example.test/3").first()
+    assert one["http_status"] == 200
+    assert one["warc_ts"].isoformat() == "1970-01-01T00:00:00"
+
+
 def test_read_warc_spark(spark, tmp_path):
     from pyspark.sql import functions as F
 
