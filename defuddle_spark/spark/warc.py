@@ -316,8 +316,8 @@ def iter_warc_records(raw: bytes) -> Iterator[dict]:
         yield headers
 
 
-def _records_to_rows(path: str, raw: bytes,
-                     warc_types: tuple) -> Iterator[dict]:
+def _records_to_rows(path: str, raw: bytes, warc_types: tuple,
+                     session_tz: str = "UTC") -> Iterator[dict]:
     import pandas as pd
 
     for rec in iter_warc_records(raw):
@@ -335,13 +335,20 @@ def _records_to_rows(path: str, raw: bytes,
         if raw_ts:
             try:  # WARC-Date is ISO 8601 (RFC 3339), e.g. ...T...Z
                 ts = pd.Timestamp(raw_ts)
-                if ts.tzinfo is not None:
-                    ts = ts.tz_convert("UTC").tz_localize(None)
             except ValueError:
                 try:
                     ts = pd.Timestamp(parsedate_to_datetime(raw_ts))
                 except (TypeError, ValueError):
                     ts = None
+        if ts is not None and ts.tzinfo is not None:
+            # Arrow interprets tz-NAIVE timestamps as session-local, so
+            # the aware WARC instant must be converted to the SESSION
+            # zone (not UTC) before dropping the tz, or every non-UTC
+            # session shifts warc_ts by its offset.
+            try:
+                ts = ts.tz_convert(session_tz).tz_localize(None)
+            except Exception:
+                ts = ts.tz_convert("UTC").tz_localize(None)
         yield {
             "url": rec.get("warc-target-uri"),
             "warc_ts": ts,
@@ -381,6 +388,13 @@ def build_http_response(body: bytes, status: int = 200,
     return b"\r\n".join(headers) + b"\r\n\r\n" + body
 
 
+def _hdr_value(v: str) -> str:
+    """Percent-encode CR/LF in a header value: one url containing a
+    CRLF would otherwise inject a blank line into the header block and
+    destroy the framing of the WHOLE archive on read-back."""
+    return v.replace("\r", "%0D").replace("\n", "%0A")
+
+
 def build_warc_record(payload: bytes, url: Optional[str] = None,
                       warc_type: str = "response",
                       content_type: str = "application/http; "
@@ -388,15 +402,15 @@ def build_warc_record(payload: bytes, url: Optional[str] = None,
                       date: str = "2024-03-01T12:00:00Z",
                       record_id: str = "<urn:uuid:0>") -> bytes:
     """Serialize one WARC/1.0 record (headers + payload + the spec's
-    two trailing CRLF)."""
+    two trailing CRLF). Header values are CR/LF-sanitized."""
     head = ["WARC/1.0",
-            "WARC-Type: " + warc_type,
-            "WARC-Date: " + date,
-            "WARC-Record-ID: " + record_id,
-            "Content-Type: " + content_type,
+            "WARC-Type: " + _hdr_value(warc_type),
+            "WARC-Date: " + _hdr_value(date),
+            "WARC-Record-ID: " + _hdr_value(record_id),
+            "Content-Type: " + _hdr_value(content_type),
             "Content-Length: " + str(len(payload))]
     if url is not None:
-        head.insert(2, "WARC-Target-URI: " + url)
+        head.insert(2, "WARC-Target-URI: " + _hdr_value(url))
     return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
 
 
@@ -429,6 +443,7 @@ def read_warc(spark: SparkSession, path: str,
     included). Non-HTTP records keep their raw payload in ``html``.
     """
     types = tuple(warc_types or ())
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
 
     def gen(batches):
         import pandas as pd
@@ -437,7 +452,8 @@ def read_warc(spark: SparkSession, path: str,
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
                 rows = []
-                for row in _records_to_rows(path_, bytes(content), types):
+                for row in _records_to_rows(path_, bytes(content), types,
+                                            session_tz):
                     rows.append(row)
                     if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=cols)
@@ -456,7 +472,8 @@ WARC_WRITE_SCHEMA = StructType([
 
 
 def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
-               gzip_members: bool = True) -> DataFrame:
+               gzip_members: bool = True,
+               overwrite: bool = False) -> DataFrame:
     """Re-emit a pages-shaped DataFrame (``url`` + ``html`` binary;
     ``warc_ts``/``http_status`` used when present) as WARC/1.0 response
     archives — the round-trip sink for filtered/deduped corpora, so a
@@ -473,9 +490,37 @@ def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
     object store). Writing through the JVM's Hadoop-FS channel for raw
     s3a/hdfs URIs is deliberately out of scope here — Spark exposes no
     binary-file writer, and this sandbox can't exercise one.
+
+    Write protocol: each archive streams member-by-member to a HIDDEN
+    temp file (``.part-…tmp`` — dot-prefixed names are invisible to
+    binaryFile/Hadoop readers, so a dead job never pollutes reads) and
+    is atomically ``os.replace``d to its final ``part-{partition}-
+    {seq}`` name on completion, so a retried or speculative attempt
+    can't interleave bytes — last complete attempt wins. ``out_dir``
+    holding archives from a previous run is refused unless
+    ``overwrite=True`` (stale higher-seq files would silently mix into
+    a later read_warc). The manifest is lazy: a second action on it
+    (or a cached/branched plan) re-executes the writes — same names,
+    same atomic results, but duplicate manifest rows; run one action.
+    WARC-Date is written as the UTC instant (session-timezone-aware)
+    at WARC/1.0's second precision — sub-second warc_ts truncates.
     """
+    import glob
+
     has_ts = "warc_ts" in df.columns
     has_status = "http_status" in df.columns
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone",
+                                          "UTC")
+    ext = ".warc.gz" if gzip_members else ".warc"
+    existing = glob.glob(os.path.join(out_dir, "part-*" + ext))
+    if existing:
+        if not overwrite:
+            raise ValueError(
+                f"{out_dir} already holds {len(existing)} archives; pass "
+                "overwrite=True to replace them (stale files from a prior "
+                "run would otherwise mix into read_warc output)")
+        for p in existing:
+            os.remove(p)
 
     def gen(batches):
         import hashlib
@@ -484,45 +529,70 @@ def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
         from pyspark import TaskContext
 
         os.makedirs(out_dir, exist_ok=True)
-        pid = TaskContext.get().partitionId()
-        ext = ".warc.gz" if gzip_members else ".warc"
-        state = {"seq": 0, "records": []}
+        tc = TaskContext.get()
+        pid, attempt = tc.partitionId(), tc.taskAttemptId()
+        state = {"seq": 0, "fh": None, "tmp": None, "n": 0, "rec_n": 0}
 
-        def flush():
-            recs = state["records"]
-            if not recs:
+        def close_file():
+            if state["fh"] is None:
                 return []
-            name = os.path.join(
+            state["fh"].close()
+            final = os.path.join(
                 out_dir, f"part-{pid:05d}-{state['seq']:05d}{ext}")
-            with open(name, "wb") as fh:
-                fh.write(build_warc_archive(recs, gzip_members))
+            os.replace(state["tmp"], final)
+            row = {"warc_path": final, "records": state["n"]}
+            state["fh"] = None
             state["seq"] += 1
-            state["records"] = []
-            return [{"warc_path": name, "records": len(recs)}]
+            return [row]
+
+        def write_record(rec: bytes):
+            if state["fh"] is None:
+                state["tmp"] = os.path.join(
+                    out_dir, f".part-{pid:05d}-{state['seq']:05d}"
+                             f"{ext}.a{attempt}.tmp")
+                state["fh"] = open(state["tmp"], "wb")
+                state["n"] = 0
+            state["fh"].write(gzip_compress(rec) if gzip_members else rec)
+            state["n"] += 1
 
         manifest = []
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 ts = getattr(row, "warc_ts", None) if has_ts else None
-                date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                        if ts is not None and not pd.isna(ts)
-                        else "1970-01-01T00:00:00Z")
+                if ts is not None and not pd.isna(ts):
+                    t = pd.Timestamp(ts)
+                    if t.tzinfo is None:
+                        # mapInPandas delivers session-local wall time;
+                        # localize before claiming Z or the instant is
+                        # off by the session offset on disk
+                        try:
+                            t = t.tz_localize(session_tz)
+                        except Exception:
+                            t = t.tz_localize("UTC")
+                    date = t.tz_convert("UTC").strftime(
+                        "%Y-%m-%dT%H:%M:%SZ")
+                else:
+                    date = "1970-01-01T00:00:00Z"
                 status = (int(row.http_status) if has_status
                           and row.http_status is not None
                           and not pd.isna(row.http_status) else 200)
                 html = bytes(row.html) if row.html is not None else b""
+                # unique per record, not per url: repeated captures of
+                # one url must not share a WARC-Record-ID
                 rec_id = "<urn:md5:" + hashlib.md5(
-                    (row.url or "").encode()).hexdigest() + ">"
-                state["records"].append(build_warc_record(
+                    f"{row.url}\x00{date}\x00{pid}\x00"
+                    f"{state['rec_n']}".encode()).hexdigest() + ">"
+                state["rec_n"] += 1
+                write_record(build_warc_record(
                     build_http_response(html, status=status),
                     url=row.url, date=date, record_id=rec_id))
-                if len(state["records"]) >= records_per_file:
-                    manifest.extend(flush())
+                if state["n"] >= records_per_file:
+                    manifest.extend(close_file())
             if manifest:
                 yield pd.DataFrame(manifest,
                                    columns=["warc_path", "records"])
                 manifest = []
-        manifest.extend(flush())
+        manifest.extend(close_file())
         if manifest:
             yield pd.DataFrame(manifest, columns=["warc_path", "records"])
 

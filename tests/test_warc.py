@@ -247,6 +247,16 @@ def test_write_warc_roundtrip(spark, tmp_path):
         assert r["http_status"] == 200 + (i % 2)
         assert r["warc_ts"].isoformat() == "2024-05-06T07:08:09"
 
+    # no stale temp files survive a successful run
+    import os
+    assert not [f for f in os.listdir(out) if f.startswith(".")]
+
+    # a second write into the same dir is refused without overwrite=True
+    with pytest.raises(ValueError, match="overwrite=True"):
+        write_warc(pages, out).collect()
+    write_warc(pages, out, records_per_file=3, overwrite=True).collect()
+    assert read_warc(spark, out).count() == 10
+
     # plain (non-gzip) archives round-trip too
     out2 = str(tmp_path / "emitted_plain")
     write_warc(pages.select("url", "html"), out2,
@@ -257,6 +267,74 @@ def test_write_warc_roundtrip(spark, tmp_path):
     one = back2.filter(F.col("url") == "https://rt.example.test/3").first()
     assert one["http_status"] == 200
     assert one["warc_ts"].isoformat() == "1970-01-01T00:00:00"
+
+
+def test_write_warc_hostile_inputs(spark, tmp_path):
+    """CRLF in a url cannot break archive framing; repeated captures of
+    one url get distinct record ids; sub-second warc_ts truncates to
+    WARC/1.0's second precision (documented, pinned here)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from defuddle_spark.spark.warc import read_warc, write_warc
+
+    evil = "https://e.test/a\r\n\r\nWARC-Type: injected"
+    rows = [
+        Row(url=evil, warc_ts=None, html=_page(0)),
+        Row(url="https://e.test/snap", warc_ts=datetime.datetime(
+            2024, 5, 6, 7, 8, 9, 123456), html=_page(1)),
+        Row(url="https://e.test/snap", warc_ts=datetime.datetime(
+            2024, 5, 7, 7, 8, 9), html=_page(2)),
+    ]
+    out = str(tmp_path / "hostile")
+    write_warc(spark.createDataFrame(rows).coalesce(1), out).collect()
+    back = read_warc(spark, out).collect()
+    assert len(back) == 3  # framing survived the CRLF url
+    by_url = {}
+    for r in back:
+        by_url.setdefault(r["url"], []).append(r)
+    assert sorted(by_url) == [
+        "https://e.test/a%0D%0A%0D%0AWARC-Type: injected",
+        "https://e.test/snap"]
+    snaps = by_url["https://e.test/snap"]
+    assert snaps[0]["record_id"] != snaps[1]["record_id"]
+    assert {r["warc_ts"].isoformat() for r in snaps} == {
+        "2024-05-06T07:08:09", "2024-05-07T07:08:09"}  # truncated
+
+
+def test_write_warc_session_timezone(spark, tmp_path):
+    """WARC-Date on disk must be the true UTC instant even when the
+    session timezone is not UTC (naive pandas timestamps are
+    session-local wall time); read_warc reverses it exactly."""
+    import datetime
+    import glob
+    import gzip as _gz
+
+    from pyspark.sql import Row
+
+    from defuddle_spark.spark.warc import read_warc, write_warc
+
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try:
+        # createDataFrame on this UTC box stores the instant 12:00Z;
+        # mapInPandas exports it as NY wall 07:00 — a tz-naive writer
+        # would stamp 07:00Z on disk (5h early), and a tz-naive reader
+        # would collect 17:00. Both must read 12:00.
+        instant = datetime.datetime(2024, 1, 15, 12, 0, 0)
+        out = str(tmp_path / "tz")
+        write_warc(spark.createDataFrame(
+            [Row(url="https://tz.test/1", warc_ts=instant,
+                 html=_page(1))]), out).collect()
+        raw = _gz.decompress(open(glob.glob(out + "/part-*")[0],
+                                  "rb").read())
+        assert b"WARC-Date: 2024-01-15T12:00:00Z" in raw
+        got = read_warc(spark, out).first()
+        assert got["warc_ts"] == instant
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_read_warc_spark(spark, tmp_path):
