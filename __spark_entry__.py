@@ -470,7 +470,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully distributed. (Reference defuddle.go:89-108 parses strings /
     fetched URLs; archive ingestion is the corpus-scale layer it
     leaves to the caller.)"""
-    import tempfile
+    import shutil
 
     from defuddle_spark.spark.pipeline import extract_pages
     from defuddle_spark.spark.warc import (build_http_response,
@@ -482,7 +482,9 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "url", r"/(\d+)-r0$", 1).cast("long"))
             .filter(F.col("doc_id") % 3 == 0)
             .select("url", "html").sort("url").collect())
-    d = tempfile.mkdtemp(prefix="defuddle-warc-gate-")
+    d = os.path.join(_scratch_dir("defuddle_warc_gate", sf_dir), "archives")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
     transports = ("identity", "chunked", "gzip", "deflate")
     per_file = 512
     for f0 in range(0, len(rows), per_file):
