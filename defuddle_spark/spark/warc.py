@@ -39,8 +39,9 @@ from email.utils import parsedate_to_datetime
 from typing import Iterable, Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (BinaryType, IntegerType, StringType,
-                               StructField, StructType, TimestampType)
+from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                               StringType, StructField, StructType,
+                               TimestampType)
 
 WARC_SCHEMA = StructType([
     StructField("url", StringType()),
@@ -444,7 +445,12 @@ def read_warc(spark: SparkSession, path: str,
     """
     types = tuple(warc_types or ())
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _warc_gen(types, batch_rows, session_tz), WARC_SCHEMA)
 
+
+def _warc_gen(types: tuple, batch_rows: int, session_tz: str):
     def gen(batches):
         import pandas as pd
 
@@ -460,9 +466,44 @@ def read_warc(spark: SparkSession, path: str,
                         rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
+    return gen
 
-    files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+# binaryFile needs an explicit schema as a STREAMING source (the static
+# reader infers this exact shape)
+_BINARY_FILE_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("modificationTime", TimestampType()),
+    StructField("length", LongType()),
+    StructField("content", BinaryType()),
+])
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     warc_types: Iterable[str] = ("response",),
+                     batch_rows: int = 256,
+                     max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """Streaming read_warc: archives LANDING in a directory (a crawl in
+    progress, an object-store drop zone) flow through the same
+    incremental parser as micro-batches of whole new files — the file
+    remains the distribution unit, the checkpoint tracks which archives
+    were ingested, and an ``availableNow`` run drains the backlog then
+    stops (resume picks up only files that arrived since). Feed the
+    result's ``(url, html)`` straight into the streaming extraction
+    pipeline; ``max_files_per_trigger`` bounds per-batch ingest the
+    same way the parquet page stream does."""
+    types = tuple(warc_types or ())
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA))
+    if max_files_per_trigger is not None:
+        if int(max_files_per_trigger) < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    files = reader.load(path)
+    return files.select("path", "content").mapInPandas(
+        _warc_gen(types, batch_rows, session_tz), WARC_SCHEMA)
 
 
 WARC_WRITE_SCHEMA = StructType([

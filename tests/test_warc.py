@@ -218,6 +218,47 @@ def test_iter_warc_records_overlong_header_line():
     assert recs[1]["warc-target-uri"] == "https://w.example.test/after"
 
 
+def test_read_warc_stream_incremental(spark, tmp_path):
+    """Streaming ingestion of a landing directory: an availableNow run
+    drains the backlog; after a new archive lands, a resumed run (same
+    checkpoint) ingests ONLY the new file — no re-parse, no dupes."""
+    from pyspark.sql import functions as F
+
+    from defuddle_spark.spark.warc import read_warc_stream
+
+    inp = tmp_path / "landing"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (inp / "a.warc.gz").write_bytes(b"".join(
+        gzip.compress(_warc_record(f"https://s.example.test/{i}",
+                                   _http_payload(_page(i)),
+                                   rec_id=f"<urn:uuid:{i}>".encode()))
+        for i in (0, 1)))
+
+    def drain():
+        q = (read_warc_stream(spark, str(inp))
+             .select("url", "html", "http_status")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got == {"https://s.example.test/0", "https://s.example.test/1"}
+
+    (inp / "b.warc.gz").write_bytes(gzip.compress(
+        _warc_record("https://s.example.test/2", _http_payload(_page(2)),
+                     rec_id=b"<urn:uuid:2>")))
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # no duplicate ingestion of a.warc.gz
+    assert {r["url"] for r in rows} == {
+        f"https://s.example.test/{i}" for i in (0, 1, 2)}
+    assert all(r["http_status"] == 200
+               and bytes(r["html"]).startswith(b"<!DOCTYPE") for r in rows)
+
+
 def test_write_warc_roundtrip(spark, tmp_path):
     """write_warc → read_warc is lossless for (url, warc_ts, html,
     http_status); manifest rows account for every record; the
