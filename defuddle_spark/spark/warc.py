@@ -33,10 +33,13 @@ are transport artifacts of the capture, not page bytes.
 from __future__ import annotations
 
 import io
+import logging
 import os
 import zlib
 from email.utils import parsedate_to_datetime
 from typing import Iterable, Iterator, Optional
+
+log = logging.getLogger("defuddle_spark.spark.warc")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (BinaryType, IntegerType, LongType,
@@ -61,22 +64,38 @@ class _Stream:
     primitives WARC parsing needs (readline, read-exactly-n), decoding
     lazily so the full decompressed archive never sits in memory.
 
-    Corrupt compressed data (a flipped CRC bit, trailing non-gzip
-    garbage after the last member) ends the stream instead of raising:
-    one bad byte in a 100 TB crawl must not fail the task, and the
-    record loop already treats a short read as a truncated-tail
-    capture artifact."""
+    Corrupt compressed data does NOT end the stream or raise: one bad
+    byte in a 100 TB crawl must not fail the task, and with Common
+    Crawl's member-per-record convention it must not drop the rest of
+    the archive either. On zlib.error the stream RESYNCS at the next
+    gzip member magic in the raw bytes, discards the corrupt member's
+    partial decoded output, and raises a read BARRIER: reads drain
+    what decoded cleanly before the corruption, then come back short
+    until the caller acknowledges the boundary (``consume_resync``) —
+    so a partially-decoded record can never splice the next member's
+    bytes into its payload. Every resync is counted (``resyncs``) so
+    callers can surface the loss instead of eating it silently."""
 
     _CHUNK = 1 << 20
+    _MAGIC = b"\x1f\x8b\x08"
 
     def __init__(self, raw: bytes):
         self._gzip = raw[:2] == b"\x1f\x8b"
+        self._rawb = raw
         self._raw = memoryview(raw)
         self._pos = 0
         self._buf = bytearray()
         self._off = 0  # read cursor into _buf; compacted lazily
         self._dead = False
         self._z = zlib.decompressobj(wbits=31) if self._gzip else None
+        # buf index where the CURRENT gzip member's decoded output starts
+        # (the rollback point when that member turns out corrupt)
+        self._mark = 0
+        # raw offset of the bytes most recently fed to the decompressor
+        # (the resync scan starts just past it)
+        self._feed_start = 0
+        self._barrier = False
+        self.resyncs = 0
 
     def _avail(self) -> int:
         return len(self._buf) - self._off
@@ -88,13 +107,46 @@ class _Stream:
         # header line (~800 MB moved per MB parsed).
         if self._off > self._CHUNK or self._off >= len(self._buf):
             del self._buf[:self._off]
+            self._mark = max(0, self._mark - self._off)
             self._off = 0
 
+    def consume_resync(self) -> bool:
+        """Acknowledge a pending resync boundary: the caller saw the
+        short read, dropped the partial record, and wants to continue at
+        the next member (which is a record boundary under the
+        member-per-record convention). Returns False when no boundary is
+        pending (a short read then means genuine end of stream)."""
+        if not self._barrier:
+            return False
+        self._barrier = False
+        return True
+
+    def _resync(self) -> None:
+        # Discard the corrupt member's partial output — but never bytes
+        # already handed to the reader (those are unrecoverable; the
+        # barrier makes the reader drop that record instead).
+        del self._buf[max(self._off, self._mark):]
+        self._barrier = True
+        self.resyncs += 1
+        nxt = self._rawb.find(self._MAGIC, self._feed_start + 1)
+        if nxt == -1:
+            self._dead = True
+            return
+        self._pos = nxt
+        self._feed_start = nxt
+        self._z = zlib.decompressobj(wbits=31)
+        self._mark = len(self._buf)
+
     def _fill(self, need: int) -> None:
+        if self._barrier:
+            return  # no new data crosses an unacknowledged boundary
         try:
             self._fill_inner(need)
         except zlib.error:
-            self._dead = True
+            # A false-positive magic (the 3-byte pattern inside compressed
+            # data) just fails again here and resyncs one step further —
+            # the scan position is strictly monotonic, so this terminates.
+            self._resync()
 
     def _fill_inner(self, need: int) -> None:
         while self._avail() < need and not self._dead:
@@ -117,7 +169,9 @@ class _Stream:
                 # leftover is one of the two, not their sum.
                 rest = bytes(z.unused_data or z.unconsumed_tail)
                 self._z = zlib.decompressobj(wbits=31)
+                self._mark = len(self._buf)
                 if rest:
+                    self._feed_start = self._pos - len(rest)
                     self._buf += self._z.decompress(rest, self._CHUNK)
                 elif self._pos >= len(self._raw):
                     break
@@ -125,6 +179,7 @@ class _Stream:
             if z.unconsumed_tail:
                 # max_length left compressed input unconsumed: it MUST be
                 # re-fed before any new chunk, or bytes are silently lost
+                self._feed_start = self._pos - len(z.unconsumed_tail)
                 self._buf += z.decompress(z.unconsumed_tail, self._CHUNK)
                 continue
             if self._pos >= len(self._raw):
@@ -133,6 +188,7 @@ class _Stream:
                     self._buf += tail
                 break
             chunk = bytes(self._raw[self._pos:self._pos + self._CHUNK])
+            self._feed_start = self._pos
             self._pos += len(chunk)
             self._buf += z.decompress(chunk, self._CHUNK)
 
@@ -168,6 +224,17 @@ class _Stream:
             i = len(self._buf) - 1
             if i < self._off:
                 return b""
+        if i - self._off >= limit:
+            # Same contract as the probe path below regardless of how the
+            # newline got buffered (gzip decodes ~1 MB chunks, so it often
+            # arrives before the probe/limit path triggers): an overlong
+            # line returns exactly its first ``limit`` bytes and consumes
+            # through the real newline — identical records must parse
+            # identically from plain and gzip archives.
+            head = bytes(self._buf[self._off:self._off + limit])
+            self._off = i + 1
+            self._compact()
+            return head
         line = bytes(self._buf[self._off:i + 1])
         self._off = i + 1
         self._compact()
@@ -290,38 +357,63 @@ def _decode_http_payload(payload: bytes):
     return status, headers.get("content-type"), body
 
 
-def iter_warc_records(raw: bytes) -> Iterator[dict]:
+def iter_warc_records(raw: bytes, stats: Optional[dict] = None
+                      ) -> Iterator[dict]:
     """Yield per-record dicts from one WARC file's raw bytes (plain or
     multi-member gzip). Keys: warc headers (lower-cased) plus
     ``payload`` bytes. Malformed trailing garbage ends iteration
     rather than raising: a truncated tail record is a capture artifact
-    the other records shouldn't pay for."""
+    the other records shouldn't pay for.
+
+    A corrupt gzip member mid-archive loses only ITS record: the stream
+    resyncs at the next member magic (a record boundary under the
+    member-per-record convention) and iteration continues — every
+    stop/short-read condition below first checks whether it was a
+    resync boundary rather than real end-of-data. ``stats`` (optional
+    dict) receives ``resyncs``: the count of corrupt members skipped,
+    so callers can surface the loss per file."""
     stream = _Stream(raw)
-    while True:
-        headers = _parse_headers(stream)
-        if headers is None:
-            return
-        if not any(v.startswith("WARC/") for v in
-                   headers.get("_start_line", [])):
-            return  # lost framing: stop rather than misattribute bytes
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        if length < 0:
-            return  # malformed framing: stop rather than misattribute
-        payload = stream.read(length)
-        if len(payload) < length:
-            return  # truncated tail record
-        headers["payload"] = payload
-        yield headers
+    try:
+        while True:
+            headers = _parse_headers(stream)
+            if headers is None:
+                if stream.consume_resync():
+                    continue  # corrupt member skipped; next one follows
+                return
+            if not any(v.startswith("WARC/") for v in
+                       headers.get("_start_line", [])):
+                if stream.consume_resync():
+                    continue
+                return  # lost framing: stop rather than misattribute bytes
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                if stream.consume_resync():
+                    continue
+                return
+            if length < 0:
+                return  # malformed framing: stop rather than misattribute
+            payload = stream.read(length)
+            if len(payload) < length:
+                if stream.consume_resync():
+                    continue  # partial record dropped at the boundary
+                return  # truncated tail record
+            headers["payload"] = payload
+            yield headers
+    finally:
+        if stats is not None:
+            stats["resyncs"] = stream.resyncs
 
 
 def _records_to_rows(path: str, raw: bytes, warc_types: tuple,
-                     session_tz: str = "UTC") -> Iterator[dict]:
+                     session_tz: str = "UTC",
+                     resync_acc=None) -> Iterator[dict]:
     import pandas as pd
 
-    for rec in iter_warc_records(raw):
+    stats: dict = {}
+    n_rows = 0
+    for rec in iter_warc_records(raw, stats=stats):
+        n_rows += 1
         wtype = rec.get("warc-type", "")
         if warc_types and wtype not in warc_types:
             continue
@@ -361,6 +453,17 @@ def _records_to_rows(path: str, raw: bytes, warc_types: tuple,
             "http_content_type": http_ctype,
             "warc_path": path,
         }
+    if stats.get("resyncs"):
+        # Surface the loss (ADVICE r6): at crawl scale a silent drop per
+        # ~1 GB file is unobservable data loss. The executor log line is
+        # always emitted; the optional accumulator makes the total
+        # measurable from the driver across the whole read.
+        log.warning(
+            "WARC %s: skipped %d corrupt gzip member(s) (resynced at the "
+            "next member magic); %d record(s) recovered", path,
+            stats["resyncs"], n_rows)
+        if resync_acc is not None:
+            resync_acc.add(stats["resyncs"])
 
 
 def build_http_response(body: bytes, status: int = 200,
@@ -433,7 +536,7 @@ def build_warc_archive(records: Iterable[bytes],
 
 def read_warc(spark: SparkSession, path: str,
               warc_types: Iterable[str] = ("response",),
-              batch_rows: int = 256) -> DataFrame:
+              batch_rows: int = 256, resync_acc=None) -> DataFrame:
     """Read WARC archives into the pages shape: one row per (matching)
     record with (url, warc_ts, html binary, ...) — feed
     ``.select("url", "html")`` straight into extract_pages. ``path``
@@ -442,15 +545,22 @@ def read_warc(spark: SparkSession, path: str,
     ``warc_types`` filters records (Common Crawl responses by default;
     pass () for everything — request/metadata/warcinfo records
     included). Non-HTTP records keep their raw payload in ``html``.
+
+    A corrupt gzip member loses only its own record (the parser resyncs
+    at the next member boundary); pass ``resync_acc`` — a
+    ``spark.sparkContext.accumulator(0)`` — to count skipped members
+    across the whole read from the driver (each skip also logs a
+    warning with the archive path on the executor).
     """
     types = tuple(warc_types or ())
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        _warc_gen(types, batch_rows, session_tz), WARC_SCHEMA)
+        _warc_gen(types, batch_rows, session_tz, resync_acc), WARC_SCHEMA)
 
 
-def _warc_gen(types: tuple, batch_rows: int, session_tz: str):
+def _warc_gen(types: tuple, batch_rows: int, session_tz: str,
+              resync_acc=None):
     def gen(batches):
         import pandas as pd
 
@@ -459,7 +569,7 @@ def _warc_gen(types: tuple, batch_rows: int, session_tz: str):
             for path_, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for row in _records_to_rows(path_, bytes(content), types,
-                                            session_tz):
+                                            session_tz, resync_acc):
                     rows.append(row)
                     if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=cols)
@@ -482,7 +592,8 @@ _BINARY_FILE_SCHEMA = StructType([
 def read_warc_stream(spark: SparkSession, path: str,
                      warc_types: Iterable[str] = ("response",),
                      batch_rows: int = 256,
-                     max_files_per_trigger: Optional[int] = None) -> DataFrame:
+                     max_files_per_trigger: Optional[int] = None,
+                     resync_acc=None) -> DataFrame:
     """Streaming read_warc: archives LANDING in a directory (a crawl in
     progress, an object-store drop zone) flow through the same
     incremental parser as micro-batches of whole new files — the file
@@ -503,7 +614,7 @@ def read_warc_stream(spark: SparkSession, path: str,
                                int(max_files_per_trigger))
     files = reader.load(path)
     return files.select("path", "content").mapInPandas(
-        _warc_gen(types, batch_rows, session_tz), WARC_SCHEMA)
+        _warc_gen(types, batch_rows, session_tz, resync_acc), WARC_SCHEMA)
 
 
 WARC_WRITE_SCHEMA = StructType([
@@ -530,7 +641,10 @@ def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
     ``out_dir`` must be a shared/posix path (local, NFS, fuse-mounted
     object store). Writing through the JVM's Hadoop-FS channel for raw
     s3a/hdfs URIs is deliberately out of scope here — Spark exposes no
-    binary-file writer, and this sandbox can't exercise one.
+    binary-file writer, and this sandbox can't exercise one. A
+    non-posix ``out_dir`` scheme is refused EAGERLY (before any job
+    runs) with the deployment recipe, rather than failing late on an
+    executor ``open()``.
 
     Write protocol: each archive streams member-by-member to a HIDDEN
     temp file (``.part-…tmp`` — dot-prefixed names are invisible to
@@ -547,6 +661,23 @@ def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
     at WARC/1.0's second precision — sub-second warc_ts truncates.
     """
     import glob
+    from urllib.parse import urlsplit
+
+    # Eager scheme guard: executor-side open() would fail late and
+    # confusingly on an object-store URI (and the driver-side stale-file
+    # glob below would silently see nothing there). Refuse up front with
+    # the deployment recipe — mirrors the Iceberg sink's refusal pattern.
+    scheme = urlsplit(out_dir).scheme
+    if scheme == "file":
+        out_dir = out_dir[len("file://"):] or "/"
+    elif scheme:
+        raise ValueError(
+            f"write_warc writes with local open(); out_dir scheme "
+            f"'{scheme}://' is not a posix path. Deployment options: "
+            "(a) mount the store (s3fs/goofys fuse, NFS) and pass the "
+            "mount path; (b) write to local/scratch storage sized "
+            "records_per_file for ~1 GB archives and upload with the "
+            "store's bulk CLI after the manifest action completes.")
 
     has_ts = "warc_ts" in df.columns
     has_status = "http_status" in df.columns

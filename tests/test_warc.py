@@ -142,6 +142,59 @@ def test_iter_warc_records_corrupt_gzip_ends_not_raises():
         ["https://w.example.test/0"]
 
 
+def test_iter_warc_records_resyncs_past_corrupt_member():
+    """One corrupt gzip member mid-archive loses only ITS record: the
+    stream resyncs at the next member magic (member-per-record means
+    that is a record boundary) and every other record survives — at
+    crawl scale the old ends-the-stream behavior silently dropped the
+    rest of a ~1 GB file. The loss is counted, never silent."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    members = [gzip.compress(_warc_record(
+        f"https://r.example.test/{i}", _http_payload(_page(i)),
+        rec_id=f"<urn:uuid:{i}>".encode())) for i in range(200)]
+    bad = bytearray(members[100])
+    bad[len(bad) // 2] ^= 0xFF  # flip a bit mid-deflate
+    raw = b"".join(members[:100]) + bytes(bad) + b"".join(members[101:])
+    stats = {}
+    recs = list(iter_warc_records(raw, stats=stats))
+    urls = {r["warc-target-uri"] for r in recs}
+    assert len(recs) == 199
+    assert stats["resyncs"] >= 1
+    assert urls == {f"https://r.example.test/{i}"
+                    for i in range(200) if i != 100}
+    # two corrupt members in a row: still only those two lost
+    bad2 = bytearray(members[101])
+    bad2[len(bad2) // 2] ^= 0xFF
+    raw2 = (b"".join(members[:100]) + bytes(bad) + bytes(bad2)
+            + b"".join(members[102:]))
+    recs2 = list(iter_warc_records(raw2))
+    assert len(recs2) == 198
+    # a clean archive reports zero resyncs
+    clean_stats = {}
+    assert len(list(iter_warc_records(b"".join(members),
+                                      stats=clean_stats))) == 200
+    assert clean_stats["resyncs"] == 0
+
+
+def test_readline_limit_consistent_across_compression():
+    """An overlong header line must parse IDENTICALLY from plain and
+    gzip archives: gzip decodes ~1 MB chunks, so the newline used to be
+    buffered before the limit check triggered and the same record gave
+    a longer url than its plain-archive twin (ADVICE r6)."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    huge_url = "https://w.example.test/q?" + "a" * 70_000  # > 64 KB line
+    rec = _warc_record(huge_url, _http_payload(_page(6)),
+                       rec_id=b"<urn:uuid:huge>")
+    after = _warc_record("https://w.example.test/after",
+                         _http_payload(_page(7)), rec_id=b"<urn:uuid:af>")
+    plain = list(iter_warc_records(rec + after))
+    gz = list(iter_warc_records(gzip.compress(rec) + gzip.compress(after)))
+    assert [r["warc-target-uri"] for r in plain] == \
+        [r["warc-target-uri"] for r in gz]
+    assert plain[0]["payload"] == gz[0]["payload"]
+    assert plain[1]["warc-target-uri"] == "https://w.example.test/after"
+
+
 def test_iter_warc_records_negative_content_length():
     """Content-Length: -1 must stop iteration, not slice the buffer
     from the end and swallow the following record."""
@@ -257,6 +310,83 @@ def test_read_warc_stream_incremental(spark, tmp_path):
         f"https://s.example.test/{i}" for i in (0, 1, 2)}
     assert all(r["http_status"] == 200
                and bytes(r["html"]).startswith(b"<!DOCTYPE") for r in rows)
+
+
+def test_read_warc_resync_accumulator(spark, tmp_path):
+    """The corrupt-member count is measurable from the driver: pass a
+    Spark accumulator and it totals skipped members across all files —
+    a crawl operator's data-loss metric, not just an executor log."""
+    d = tmp_path / "acc"
+    d.mkdir()
+    good = [gzip.compress(_warc_record(
+        f"https://a.example.test/{i}", _http_payload(_page(i)),
+        rec_id=f"<urn:uuid:{i}>".encode())) for i in range(6)]
+    (d / "clean.warc.gz").write_bytes(b"".join(good[:3]))
+    poisoned = bytearray(good[4])
+    poisoned[len(poisoned) // 2] ^= 0xFF
+    (d / "poisoned.warc.gz").write_bytes(
+        good[3] + bytes(poisoned) + good[5])
+
+    from defuddle_spark.spark.warc import read_warc
+    acc = spark.sparkContext.accumulator(0)
+    rows = read_warc(spark, str(d), resync_acc=acc).collect()
+    assert {r["url"] for r in rows} == {
+        f"https://a.example.test/{i}" for i in range(6) if i != 4}
+    assert acc.value >= 1
+
+
+def test_read_warc_stream_poisoned_archive(spark, tmp_path):
+    """A corrupt archive in the landing directory must not kill the
+    streaming query: the stream drains every good file completely and
+    salvages the poisoned file's intact records (verdict r6 #5)."""
+    from defuddle_spark.spark.warc import read_warc_stream
+
+    inp = tmp_path / "landing"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def member(i):
+        return gzip.compress(_warc_record(
+            f"https://p.example.test/{i}", _http_payload(_page(i)),
+            rec_id=f"<urn:uuid:{i}>".encode()))
+
+    (inp / "a.warc.gz").write_bytes(member(0) + member(1))
+    poisoned = bytearray(member(3))
+    poisoned[len(poisoned) // 2] ^= 0xFF
+    (inp / "b.warc.gz").write_bytes(
+        member(2) + bytes(poisoned) + member(4))
+    (inp / "c.warc.gz").write_bytes(member(5))
+
+    q = (read_warc_stream(spark, str(inp), max_files_per_trigger=1)
+         .select("url", "http_status")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert got == {f"https://p.example.test/{i}"
+                   for i in (0, 1, 2, 4, 5)}  # only the corrupt member lost
+
+
+def test_write_warc_refuses_object_store_paths(spark, tmp_path):
+    """write_warc writes with executor-local open(): an object-store
+    out_dir must be refused EAGERLY (driver-side, before any job) with
+    the deployment recipe — the old failure was a late executor error,
+    and the stale-archive glob guard silently saw nothing there."""
+    from pyspark.sql import Row
+
+    from defuddle_spark.spark.warc import read_warc, write_warc
+
+    pages = spark.createDataFrame(
+        [Row(url="https://s.example.test/0", html=_page(0))])
+    for uri in ("s3a://bucket/crawl/out", "hdfs://nn:8020/crawl/out",
+                "gs://bucket/out"):
+        with pytest.raises(ValueError, match="posix"):
+            write_warc(pages, uri)  # raises before any action
+    # file:// is a posix path in disguise — accepted and stripped
+    out = str(tmp_path / "fileuri")
+    write_warc(pages, "file://" + out).collect()
+    assert read_warc(spark, out).count() == 1
 
 
 def test_write_warc_roundtrip(spark, tmp_path):
