@@ -456,33 +456,42 @@ def q_extract_markdown_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC ingestion gate: archetype-0 pages wrapped in WARC/1.0
-    response records (one gzip member per record — Common Crawl's
-    convention) with capture-transport artifacts cycling per record
-    (identity / chunked / Content-Encoding gzip / deflate) plus a
-    warcinfo member the default warc_types filter must drop; the
-    archives round-trip through read_warc into extract_pages. The
-    oracle is the PLAIN pages-path oracle (extract_semantic's shape)
-    plus a constant http_status: archive framing and transport decode
-    must be byte-transparent. Input synthesis collects the bounded
-    archetype-0 slice to the driver ONLY to write the archive fixture;
-    the path under test (binaryFile → mapInPandas parse → kernel) is
-    fully distributed. (Reference defuddle.go:89-108 parses strings /
-    fetched URLs; archive ingestion is the corpus-scale layer it
-    leaves to the caller.)"""
+    """WARC ingestion + emission gate: archetype-0 pages wrapped in
+    WARC/1.0 response records (one gzip member per record — Common
+    Crawl's convention) with capture-transport artifacts cycling per
+    record (identity / chunked / Content-Encoding gzip / deflate) plus
+    a warcinfo member the default warc_types filter must drop. The
+    archives go through the FULL archive loop: read_warc → write_warc
+    (atomic-rename protocol, WARC-Date second truncation, per-record
+    ids) → read_warc again → extract_pages — so the writer's emitted
+    bytes are covered by the same oracle, not just pytest (verdict r6
+    #3). The oracle is the PLAIN pages-path oracle (extract_semantic's
+    shape) plus a constant http_status: archive framing, transport
+    decode, and the writer round-trip must all be byte-transparent.
+    Input synthesis collects the bounded archetype-0 slice to the
+    driver ONLY to write the archive fixture; the path under test
+    (binaryFile → mapInPandas parse → writer → kernel) is fully
+    distributed. http_status rides a localCheckpoint of the read-back
+    frame, so the emitted archives are read ONCE for both the
+    extraction input and the status join (ADVICE r6). (Reference
+    defuddle.go:89-108 parses strings / fetched URLs; archive
+    ingestion/emission is the corpus-scale layer it leaves to the
+    caller.)"""
     import shutil
 
     from defuddle_spark.spark.pipeline import extract_pages
     from defuddle_spark.spark.warc import (build_http_response,
                                            build_warc_archive,
-                                           build_warc_record, read_warc)
+                                           build_warc_record, read_warc,
+                                           write_warc)
 
     rows = (_pages(spark, sf_dir)
             .withColumn("doc_id", F.regexp_extract(
                 "url", r"/(\d+)-r0$", 1).cast("long"))
             .filter(F.col("doc_id") % 3 == 0)
             .select("url", "html").sort("url").collect())
-    d = os.path.join(_scratch_dir("defuddle_warc_gate", sf_dir), "archives")
+    base = _scratch_dir("defuddle_warc_gate", sf_dir)
+    d = os.path.join(base, "archives")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     transports = ("identity", "chunked", "gzip", "deflate")
@@ -500,10 +509,26 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(d, f"gate-{f0:06d}.warc.gz"), "wb") as fh:
             fh.write(build_warc_archive(records))
 
-    warc_df = read_warc(spark, d)
-    out = extract_pages(warc_df.select("url", "html"),
+    # one pass over the fixture archives feeds the writer (the manifest
+    # action is the only job that reads them)
+    emitted = os.path.join(base, "emitted")
+    manifest = write_warc(
+        read_warc(spark, d).select("url", "warc_ts", "html", "http_status"),
+        emitted, records_per_file=per_file, overwrite=True)
+    n_written = manifest.agg(F.sum("records")).collect()[0][0]
+    if n_written != len(rows):
+        raise RuntimeError(
+            f"warc_extract gate: writer emitted {n_written} records, "
+            f"expected {len(rows)}")
+    # one pass over the emitted archives: localCheckpoint materializes
+    # the read-back rows once, then both the extraction branch and the
+    # http_status join consume the checkpoint
+    back = (read_warc(spark, emitted)
+            .select("url", "html", "http_status")
+            .localCheckpoint(eager=True))
+    out = extract_pages(back.select("url", "html"),
                         with_routing_column=False)
-    return out.join(F.broadcast(warc_df.select("url", "http_status")),
+    return out.join(F.broadcast(back.select("url", "http_status")),
                     "url").select(
         "url", "title", "content", "extracted_text", "word_count",
         "http_status")
