@@ -429,7 +429,9 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
 def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iters: int = 50,
-                         strict: bool = False) -> DataFrame:
+                         strict: bool = False,
+                         algorithm: str = "auto",
+                         stats: Optional[dict] = None) -> DataFrame:
     """Collapse candidate near-dup pairs into duplicate CLUSTERS:
     (doc_id, component) where component is the cluster's minimum id.
 
@@ -439,29 +441,93 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
     per pair (pairwise keep-min would keep b from (b,c) even though b
     loses to a).
 
-    Algorithm: large-star label propagation — every node starts with
-    label = its own id; each round every node adopts the minimum label in
-    its neighborhood (including itself); converges in O(diameter) rounds,
-    and near-dup clusters have tiny diameters (a boilerplate cluster is
-    one dense blob). Each round is one join + one groupBy-min on (node,
-    label) pairs — all codegen, shuffle keyed on node ids only. The loop
-    stops when a round changes NOTHING (one limit(1).count() action per
-    round — the driver-side work is a scalar per round, never the data).
+    Three algorithms, identical output (differential-tested):
 
-    Every round's frame is eagerly localCheckpoint-ed: an iterative
-    DataFrame loop otherwise stacks each round's plan on top of the
-    last and Catalyst re-analysis blows up superlinearly (measured: a
-    12-round chain took minutes un-truncated, seconds truncated — the
-    same reason GraphFrames checkpoints its CC iterations). On a real
-    cluster prefer spark.sparkContext.setCheckpointDir + .checkpoint()
-    for executor-loss tolerance; localCheckpoint trades that for speed,
+    - ``algorithm="label"``: min-label propagation — every node adopts
+      the minimum label in its neighborhood each round; one join + one
+      groupBy per round, but O(diameter) rounds. The cheapest choice on
+      blob-shaped clusters (a boilerplate cluster is one dense blob,
+      diameter 2-3): measured ~3x less per-round work than star.
+    - ``algorithm="star"``: alternating large-star/small-star
+      contraction (Kiveris et al., "Connected Components in MapReduce
+      and Beyond") — each round rewires every node toward its
+      neighborhood minimum, which SQUARES the contraction rate:
+      O(log n) rounds regardless of graph diameter. At 10^12-doc scale
+      this is the difference between ~60 rounds and ~7 on chained
+      near-dup clusters (template drift chains A~B~C~… where
+      consecutive crawl snapshots each pair only with their
+      neighbors). Measured (BENCH/components_star_r7.json, 128k-node
+      planted chains of 64): star 7 rounds/23.8s vs label 64
+      rounds/67.8s; on dense blobs label wins (8.0s vs 12.5s).
+    - ``algorithm="auto"`` (default): up to ``_AUTO_LABEL_ROUNDS``
+      quiet label rounds — blob-shaped graphs converge there and pay
+      nothing extra — then, if unconverged, the full star contraction.
+      Worst case adds ~2-3 star-rounds' worth of label work before
+      switching; in exchange no input shape can drag the loop to
+      O(diameter), which is the property that matters when the
+      diameter is unknowable upfront (it always is at crawl scale).
+
+    Both loops stop when a round changes NOTHING and eagerly
+    localCheckpoint every round's frame: an iterative DataFrame loop
+    otherwise stacks each round's plan on top of the last and Catalyst
+    re-analysis blows up superlinearly (measured: a 12-round chain took
+    minutes un-truncated, seconds truncated — the same reason
+    GraphFrames checkpoints its CC iterations). On a real cluster
+    prefer spark.sparkContext.setCheckpointDir + .checkpoint() for
+    executor-loss tolerance; localCheckpoint trades that for speed,
     which is the right call inside a single job.
 
     At 10^12-doc scale the pair set is the output of the banded/blocked
-    candidate generators (never all-pairs), and rounds shuffle one
-    (node, label) row per node — the same shape GraphX/GraphFrames
-    connected-components uses, without the library dependency.
+    candidate generators (never all-pairs), and rounds shuffle one row
+    per node/edge — the same shape GraphX/GraphFrames connected
+    components uses, without the library dependency.
+
+    ``stats`` (optional dict) receives ``rounds`` (iterations the
+    driver loop ran — under auto, both phases summed), ``converged``
+    and ``algorithm`` (``auto:label`` / ``auto:star`` records which
+    phase produced the result) — the round-count evidence behind the
+    algorithm choice, and what tools/components_bench.py records.
     """
+    if algorithm == "star":
+        return _components_star(pairs, id_a, id_b, max_iters, strict,
+                                stats)
+    if algorithm == "auto":
+        probe = {}
+        out = _components_label(pairs, id_a, id_b,
+                                min(_AUTO_LABEL_ROUNDS, max_iters),
+                                strict=False, stats=probe, warn=False)
+        if probe["converged"]:
+            if stats is not None:
+                stats.update(probe, algorithm="auto:label")
+            return out
+        star_stats = {}
+        out = _components_star(pairs, id_a, id_b, max_iters, strict,
+                               star_stats)
+        if stats is not None:
+            stats.update(rounds=probe["rounds"] + star_stats["rounds"],
+                         converged=star_stats["converged"],
+                         algorithm="auto:star")
+        return out
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}; "
+                         "pick 'auto', 'star' or 'label'")
+    return _components_label(pairs, id_a, id_b, max_iters, strict, stats)
+
+
+# Auto-mode label budget: blob-shaped near-dup clusters converge in 2-3
+# label rounds; 6 covers moderately chained shapes while costing at most
+# ~2 star-rounds of work (a label round measures ~3x cheaper) before the
+# O(log n) path takes over.
+_AUTO_LABEL_ROUNDS = 6
+
+
+def _components_label(pairs: DataFrame, id_a: str, id_b: str,
+                      max_iters: int, strict: bool,
+                      stats: Optional[dict] = None,
+                      warn: bool = True) -> DataFrame:
+    """Min-label propagation (see duplicate_components). ``warn=False``
+    silences the non-convergence warning — the auto path treats that
+    outcome as "switch to star", not as a user-facing problem."""
     # symmetric edge list (a~b and b~a), one row per direction
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(
@@ -474,7 +540,9 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
     changed = 0
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # each node's next label: min over self-label and neighbors'
         neigh = (edges
                  .join(labels.withColumnRenamed("node", "dst")
@@ -500,7 +568,10 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
         labels = nxt
         if changed == 0:
             break
-    if changed != 0:
+    if stats is not None:
+        stats.update(rounds=rounds, converged=changed == 0,
+                     algorithm="label")
+    if changed != 0 and warn:
         # no-silent-caps convention (same as hot_bucket_cap's warning):
         # an unconverged result keeps intermediate labels and would make
         # dedup_survivors retain duplicate members of one component
@@ -515,6 +586,105 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
     # this frame goes out of scope (unpersist() would be a no-op)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def _components_star(pairs: DataFrame, id_a: str, id_b: str,
+                     max_iters: int, strict: bool,
+                     stats: Optional[dict] = None) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.):
+    edges converge to stars rooted at each component's minimum id in
+    O(log n) rounds. Edges are kept CANONICAL — one row per undirected
+    edge as (u, v) with u > v — which both halves preserve:
+
+    - large-star: for every node x, every strictly-larger neighbor is
+      rewired to m = min(neighborhood(x) ∪ {x}); needs both directions,
+      so it symmetrizes the canonical set on the fly. Output (bigger,
+      m) with bigger > x >= m — canonical by construction.
+    - small-star: every edge routed to its LARGER endpoint u (that is
+      exactly the canonical u column); u and all its routed (smaller)
+      neighbors rewire to m = min of those neighbors. Output again
+      (node, m) with node > m.
+
+    Convergence = the canonical edge set is stable under a round (same
+    count and nothing new — set semantics hold because both halves end
+    in distinct()). On a converged star, labels are simply the edges
+    themselves (non-root -> root); nodes with no surviving edge (roots,
+    self-paired inputs) label themselves.
+    """
+    sym_in = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+              .unionByName(pairs.select(F.col(id_b).alias("u"),
+                                        F.col(id_a).alias("v"))))
+    # every node that appears in pairs gets an output row, exactly like
+    # the label algorithm (including nodes only ever self-paired, which
+    # the canonical self-loop filter would otherwise drop)
+    nodes = (sym_in.select(F.col("u").alias("node")).distinct()
+             .localCheckpoint(eager=True))
+    edges = (sym_in.filter(F.col("u") > F.col("v")).distinct()
+             .localCheckpoint(eager=True))
+    n_edges = edges.count()
+    converged = False
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: x's larger neighbors hook to x's neighborhood min
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (sym.join(lmin, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("nu"),
+                         F.least("mn", "u").alias("nv"))
+                 .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        # small-star: u and its smaller neighbors hook to their min
+        smin = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (large.join(smin, "u")
+                 .select(F.col("v").alias("nu"), F.col("mn").alias("nv"))
+                 .unionByName(smin.select(F.col("u").alias("nu"),
+                                          F.col("mn").alias("nv")))
+                 .filter(F.col("nu") != F.col("nv"))
+                 .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        n_new = small.count()
+        if (n_new == n_edges
+                and small.exceptAll(edges).limit(1).count() == 0):
+            # Equal counts + nothing new => identical sets (both sides
+            # are distinct()), so the round was a fixed point. Accept it
+            # only if it is actually a disjoint star set (every non-root
+            # points at exactly one root, no node on both sides) — stars
+            # are provably stable and reached in O(log n) rounds; this
+            # guards against declaring victory on any other fixed point.
+            is_star = (small.groupBy("u").agg(
+                F.count_distinct("v").alias("c"))
+                .filter(F.col("c") > 1).limit(1).count() == 0
+                and small.select("u").intersect(
+                    small.select(F.col("v").alias("u")))
+                .limit(1).count() == 0)
+            if is_star:
+                edges = small
+                converged = True
+                break
+        edges, n_edges = small, n_new
+    if stats is not None:
+        stats.update(rounds=rounds, converged=converged,
+                     algorithm="star")
+    if not converged:
+        msg = ("duplicate_components(star): contraction did NOT converge "
+               f"within max_iters={max_iters}; results contain unmerged "
+               "labels — raise max_iters")
+        if strict:
+            raise RuntimeError(msg)
+        log.warning(msg)
+    # converged edges ARE the labels: (non-root u -> root v); the
+    # groupBy-min is belt-and-braces for the unconverged-warning path,
+    # where a node may still carry two candidate roots
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return (nodes.join(labels.withColumnRenamed("u", "node"),
+                       "node", "left")
+            .select(F.col("node").alias("doc_id"),
+                    F.coalesce("component", "node").alias("component")))
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame,

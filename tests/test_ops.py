@@ -474,6 +474,70 @@ def test_duplicate_components_long_chain_converges(spark):
     assert comp == {(i, 100) for i in range(100, 113)}
 
 
+def test_duplicate_components_star_matches_label(spark):
+    """The two algorithms are interchangeable: star contraction
+    (default, O(log n) rounds) and label propagation (O(diameter))
+    produce identical (doc_id, component) sets on every graph shape —
+    chains, blobs, reversed pairs, self-pairs, disjoint components."""
+    from defuddle_spark.ops.dedup import duplicate_components
+
+    cases = {
+        "blob": [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "mixed": [(1, 2), (2, 3), (10, 11), (20, 20), (30, 31),
+                  (31, 32), (32, 30), (5, 4)],
+        "reversed_chain": [(i + 1, i) for i in range(40, 52)],
+        "two_chains": ([(i, i + 2) for i in range(100, 120, 2)]
+                       + [(200, 201)]),
+    }
+    for name, ps in cases.items():
+        pairs = spark.createDataFrame(ps, ["id_a", "id_b"])
+        star = sorted(map(tuple, duplicate_components(
+            pairs, algorithm="star").collect()))
+        label = sorted(map(tuple, duplicate_components(
+            pairs, algorithm="label").collect()))
+        assert star == label, name
+
+    # the auto default resolves to label on a quick-converging blob and
+    # to star on a chain deeper than its label budget — same output
+    blob = spark.createDataFrame(cases["blob"], ["id_a", "id_b"])
+    st: dict = {}
+    out = sorted(map(tuple, duplicate_components(blob, stats=st).collect()))
+    assert st["algorithm"] == "auto:label" and st["converged"]
+    assert out == sorted(map(tuple, duplicate_components(
+        blob, algorithm="label").collect()))
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300, 320)], ["id_a", "id_b"])
+    st = {}
+    out = {(r["doc_id"], r["component"])
+           for r in duplicate_components(chain, stats=st).collect()}
+    assert st["algorithm"] == "auto:star" and st["converged"]
+    assert out == {(i, 300) for i in range(300, 321)}
+
+    with pytest.raises(ValueError, match="star.*label"):
+        duplicate_components(
+            spark.createDataFrame([(1, 2)], ["id_a", "id_b"]),
+            algorithm="bogus")
+
+
+def test_duplicate_components_star_logn_rounds(spark):
+    """The scale claim behind the star default: a 60-node path graph
+    (diameter 60) converges within 8 star rounds — label propagation
+    provably cannot (it moves the min one hop per round) and raises
+    under the same budget with strict=True."""
+    from defuddle_spark.ops.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 260)], ["id_a", "id_b"])
+    comp = {(r["doc_id"], r["component"])
+            for r in duplicate_components(
+                pairs, algorithm="star", max_iters=8,
+                strict=True).collect()}
+    assert comp == {(i, 200) for i in range(200, 261)}
+    with pytest.raises(RuntimeError, match="did NOT converge"):
+        duplicate_components(pairs, algorithm="label", max_iters=8,
+                             strict=True).collect()
+
+
 def test_cosine_topk_batch_matches_single_query(spark):
     """The two-stage distributed batch top-k must equal per-query
     cosine_topk (same rounded-sim ordering and tie-breaks)."""
