@@ -198,9 +198,11 @@ def dedup_exact_stream(spark: SparkSession, input_dir: str, output_dir: str,
     ``state_ttl_ms=None`` keeps one 16-byte-keyed row per distinct
     document FOREVER — the only semantics that makes global dedup exact,
     and the same cardinality the batch groupBy shuffles; a real
-    deployment backs it with the RocksDB state store
-    (``spark.sql.streaming.stateStore.providerClass =
-    ...RocksDBStateStoreProvider``) so state spills to executor disk at
+    deployment backs it with the RocksDB state store —
+    ``get_spark(rocksdb_state_store=True)`` applies the pinned conf
+    (session.ROCKSDB_STATE_CONF: provider class + changelog
+    checkpointing), exercised for real in tests/test_streaming.py — so
+    state spills to executor disk at
     ~10^12 keys instead of living on the JVM heap, and the differential
     test asserts the one-row-per-distinct-hash metric via
     ``lastProgress.stateOperators.numRowsTotal``. Setting ``state_ttl_ms``

@@ -555,3 +555,96 @@ def test_max_files_per_trigger_zero_rejected():
     for bad in (0, -1):
         with pytest.raises(ValueError, match="must be positive"):
             _with_files_per_trigger("reader-sentinel", bad)
+
+
+def test_rocksdb_state_store_conf_and_run(spark, tmp_path):
+    """The crawl-scale state-store setup the dedup docstrings point at
+    must not drift AND must actually work: ROCKSDB_STATE_CONF lands via
+    the get_spark flag (shape pin), and a cross-batch stateful dedup
+    runs for real under the RocksDB provider (Spark 4 bundles
+    rocksdbjni) — the checkpoint's state dir then carries RocksDB zip
+    snapshots/changelogs instead of HDFSBackedStateStore .delta files."""
+    import os
+
+    import pandas as pd
+
+    from defuddle_spark.spark.session import ROCKSDB_STATE_CONF
+    from defuddle_spark.spark.streaming import dedup_exact_stream
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    assert provider_key in ROCKSDB_STATE_CONF
+    assert ROCKSDB_STATE_CONF[provider_key].endswith(
+        "RocksDBStateStoreProvider")
+    changelog_key = ("spark.sql.streaming.stateStore.rocksdb."
+                     "changelogCheckpointing.enabled")
+    assert ROCKSDB_STATE_CONF[changelog_key] == "true"
+
+    # the provider is read at query start, so the shared session can be
+    # switched per-checkpoint at runtime (and restored)
+    old = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        in_dir = tmp_path / "docs"
+        in_dir.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["alpha text", "beta text"]}) \
+            .to_parquet(in_dir / "batch1.parquet")
+        q = dedup_exact_stream(spark, str(in_dir), str(tmp_path / "out"),
+                               ckpt, available_now=True)
+        q.awaitTermination(300)
+        pd.DataFrame({"doc_id": [7, 3],
+                      "text": ["alpha text", "gamma text"]}) \
+            .to_parquet(in_dir / "batch2.parquet")
+        q2 = dedup_exact_stream(spark, str(in_dir), str(tmp_path / "out"),
+                                ckpt, available_now=True)
+        q2.awaitTermination(300)
+
+        got = {r["doc_id"] for r in
+               spark.read.parquet(str(tmp_path / "out")).collect()}
+        assert got == {1, 2, 3}  # same semantics as the default provider
+
+        state_files = []
+        for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+            state_files.extend(files)
+        assert any(f.endswith(".zip") or f.endswith(".changelog")
+                   for f in state_files), state_files
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_get_spark_rocksdb_flag_shapes_builder():
+    """get_spark(rocksdb_state_store=True) must feed every
+    ROCKSDB_STATE_CONF entry into the builder — pinned via the builder
+    config dict rather than a live session (getOrCreate would reuse the
+    suite's session and silently skip the conf)."""
+    from pyspark.sql import SparkSession
+
+    from defuddle_spark.spark.session import ROCKSDB_STATE_CONF, get_spark
+
+    captured = {}
+
+    class _Recorder:
+        def master(self, *_): return self
+        def appName(self, *_): return self
+        def config(self, k, v):
+            captured[k] = v
+            return self
+        def getOrCreate(self):
+            return "session-sentinel"
+
+    orig = SparkSession.builder
+    try:
+        SparkSession.builder = _Recorder()
+        assert get_spark(cores=2, rocksdb_state_store=True) \
+            == "session-sentinel"
+    finally:
+        SparkSession.builder = orig
+    for k, v in ROCKSDB_STATE_CONF.items():
+        assert captured.get(k) == v
