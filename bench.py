@@ -68,8 +68,22 @@ def main() -> None:
     # round-over-round kernel anchor. A full-width delta without a probe
     # delta is neighbor load, not a regression (round-3 lesson — that
     # adjudication needed an out-of-band probe; now it's in the artifact).
-    from tools.kernel_probe import run_probe
+    from tools.kernel_probe import run_probe, run_probe_fullwidth
     probe = run_probe(sf_dir, n_docs=500, reps=3, pin_core=0)
+    # Full-width probe (verdict r6 #1): N pinned concurrent replicas of
+    # the same kernel loop. The 1-core ratio does NOT transfer to a
+    # 32-wide wall total (all-core turbo + shared memory bandwidth:
+    # measured 1.17 ms/doc 1c vs 2.51 ms/doc per-core at 32-wide) —
+    # extraction-family queries are adjudicated against THIS ratio.
+    probe.update(run_probe_fullwidth(sf_dir, n_docs=200, reps=2,
+                                     width=cpus))
+    # Previous-round kernel A/B (verdict r6 #7): same probe on the last
+    # "round N:" commit in a scratch worktree, interleaved reps — the
+    # definitive code-vs-platform discriminator ({} on round 1 or when
+    # git state is unavailable; disable with SPARK_GRAFT_KERNEL_AB=0).
+    if os.environ.get("SPARK_GRAFT_KERNEL_AB", "1") == "1":
+        from tools.kernel_ab import run_kernel_ab
+        probe.update(run_kernel_ab(sf_dir))
 
     spark = get_spark(cores=cpus, app_name="defuddle-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,6 +117,7 @@ def main() -> None:
         return round(best, 3)
 
     timings: dict = {}
+    timings_mean: dict = {}
     load_start = round(os.getloadavg()[0], 2)
     t0 = time.monotonic()
 
@@ -112,11 +127,22 @@ def main() -> None:
         pages, with_routing_column=False)
         .agg(F.sum(F.length("content")), F.sum("word_count"),
              F.count("error")).collect())
+    timings_mean["extract"] = timings["extract"]
 
     # Every driver-contract query, timed by name (round-over-round
     # regressions are visible per query). The noop sink forces full
     # materialization of every output column — count() would let Catalyst
     # prune computed columns out of native queries entirely.
+    #
+    # Order-robust reps (verdict r6 #2): instead of REPS back-to-back
+    # runs per query, run REPS full PASSES over the registry, each pass
+    # in a different seeded-shuffled order. The r6 artifact showed
+    # late-arriving neighbor load landing on whichever family ran last
+    # in registry order (similarity/ANN regressed 1.1-1.46x with
+    # untouched code); shuffled passes decorrelate position from query,
+    # and min-vs-mean per query shows how loaded the run was.
+    import random
+
     import __spark_entry__ as entry
     from defuddle_spark.ops.dedup import release_cached
 
@@ -124,8 +150,18 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         release_cached()  # drop per-call persisted signature frames
 
-    for name, fn in entry.queries().items():
-        timings[name] = timed(lambda fn=fn: run_full(fn))
+    fns = entry.queries()
+    per_pass: dict = {name: [] for name in fns}
+    for p in range(REPS):
+        order = list(fns)
+        random.Random(1000 + p).shuffle(order)
+        for name in order:
+            t = time.monotonic()
+            run_full(fns[name])
+            per_pass[name].append(time.monotonic() - t)
+    for name, vals in per_pass.items():
+        timings[name] = round(min(vals), 3)
+        timings_mean[name] = round(sum(vals) / len(vals), 3)
 
     # headline value = sum of best per-query times (the repeated timing
     # loop's wall total would just measure REPS x noise)
@@ -177,18 +213,42 @@ def main() -> None:
                 "shared_query_count": len(names),
                 "new_query_count": len(timings) - len(names),
             }
-            # Self-adjudicating platform normalization (VERDICT r5 #7):
-            # the single-core kernel probe runs in both rounds' artifacts,
-            # so the shared sum can be restated in the PREVIOUS round's
-            # platform terms — two consecutive rounds needed manual
-            # probe-based noise adjudication; now the artifact carries it.
-            prev_probe = (prev_parsed.get("kernel_ms_per_doc")
-                          or prev.get("kernel_ms_per_doc"))
-            if prev_probe and probe.get("kernel_ms_per_doc"):
-                ratio = probe["kernel_ms_per_doc"] / float(prev_probe)
-                shared["probe_ratio_vs_prev"] = round(ratio, 4)
-                shared["shared_query_total_probe_normalized"] = round(
-                    shared["shared_query_total"] / ratio, 3)
+            # Self-adjudicating platform normalization, v2 (VERDICT r6
+            # #1): extraction-family queries (Python-kernel-bound) are
+            # restated through the FULL-WIDTH probe ratio — the 1-core
+            # ratio conflates all-core turbo and bandwidth contention
+            # with kernel speed and mis-adjudicated r6 (+2.8% raw shown
+            # as +53%). JVM-only queries are left raw: their cost is
+            # shuffle/codegen, which neither probe models. The 1-core
+            # ratio is still emitted, explicitly ADVISORY.
+            def _prev_field(key):
+                v = prev_parsed.get(key) or prev.get(key)
+                return float(v) if v else None
+
+            def _extraction_family(name):
+                return ((name == "extract" or name.startswith("extract_")
+                         or name == "warc_extract")
+                        and "stream" not in name)
+
+            prev_1c = _prev_field("kernel_ms_per_doc")
+            if prev_1c and probe.get("kernel_ms_per_doc"):
+                r1 = probe["kernel_ms_per_doc"] / prev_1c
+                shared["probe_ratio_vs_prev"] = round(r1, 4)
+                shared["shared_query_total_1c_normalized_advisory"] = \
+                    round(shared["shared_query_total"] / r1, 3)
+            prev_fw = _prev_field("kernel_ms_per_doc_fullwidth")
+            if prev_fw and probe.get("kernel_ms_per_doc_fullwidth"):
+                rfw = probe["kernel_ms_per_doc_fullwidth"] / prev_fw
+                shared["probe_ratio_fullwidth_vs_prev"] = round(rfw, 4)
+                ext = [n for n in names if _extraction_family(n)]
+                other = [n for n in names if not _extraction_family(n)]
+                shared["shared_query_total_adjudicated"] = round(
+                    sum(timings[n] for n in ext) / rfw
+                    + sum(timings[n] for n in other), 3)
+                shared["adjudicated_note"] = (
+                    "extraction-family normalized by fullwidth probe "
+                    f"ratio ({len(ext)} queries); JVM/streaming raw "
+                    f"({len(other)})")
     except Exception:
         # a malformed prior artifact (wrong shape, null timings, bad
         # JSON) must not fail the bench after the timed work is done
@@ -199,6 +259,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_mean": timings_mean,
+        "bench_reps": REPS,
         "sf": sf,
         "pages": n_pages,
         "cpus": cpus,

@@ -19,6 +19,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -114,9 +115,68 @@ def run_probe(sf_dir: str = "/root/testdata/sf0.01", n_docs: int = 500,
             os.sched_setaffinity(0, old_affinity)
 
 
+def _fullwidth_worker(args) -> float:
+    """One pinned replica: warm up, wait for the common barrier, then
+    time ``reps`` consecutive passes over the page set. Returns total
+    timed seconds (all replicas run the same work, so the SLOWEST total
+    is the full-contention wall)."""
+    core, pages, reps, barrier = args
+    import time as _time
+
+    if hasattr(os, "sched_setaffinity"):
+        try:
+            os.sched_setaffinity(0, {core})
+        except OSError:
+            pass
+    from defuddle_spark.kernel import extract_document_bytes
+    for url, html in pages[:50]:
+        extract_document_bytes(html, url=url)
+    barrier.wait()
+    t0 = _time.monotonic()
+    for _ in range(reps):
+        for url, html in pages:
+            extract_document_bytes(html, url=url)
+    return _time.monotonic() - t0
+
+
+def run_probe_fullwidth(sf_dir: str = "/root/testdata/sf0.01",
+                        n_docs: int = 200, reps: int = 2,
+                        width: Optional[int] = None) -> dict:
+    """FULL-WIDTH kernel probe: ``width`` pinned concurrent replicas of
+    the single-core probe, started together on a barrier. The verdict-r6
+    finding this exists for: a single-core probe ratio does NOT transfer
+    to 32-wide wall time (all-core turbo drops the clock ~25-30% and
+    memory bandwidth is shared — BENCH/BASELINE.md), so normalizing a
+    32-wide bench total by the 1-core ratio restated a +2.8% move as a
+    53% regression. ``kernel_ms_per_doc_fullwidth`` is the per-replica
+    per-doc time under full contention — the number a full-width bench
+    delta should be adjudicated against."""
+    import multiprocessing as mp
+
+    if width is None:
+        width = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages = build_pages(sf_dir, n_docs)
+    ctx = mp.get_context("fork")  # pages ride fork COW, no pickling cost
+    with ctx.Manager() as mgr:
+        barrier = mgr.Barrier(width)
+        with ctx.Pool(width) as pool:
+            totals = pool.map(
+                _fullwidth_worker,
+                [(core, pages, reps, barrier) for core in range(width)])
+    return {
+        "kernel_ms_per_doc_fullwidth": round(
+            max(totals) * 1000 / (reps * len(pages)), 4),
+        "probe_fullwidth_width": width,
+        "probe_fullwidth_docs": len(pages),
+        "probe_fullwidth_reps": reps,
+    }
+
+
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     out = run_probe(sf, n)
+    if os.environ.get("SPARK_GRAFT_PROBE_FULLWIDTH", "0") == "1":
+        out.update(run_probe_fullwidth(sf))
     out["load_avg"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
