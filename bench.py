@@ -75,8 +75,13 @@ def main() -> None:
     # 32-wide wall total (all-core turbo + shared memory bandwidth:
     # measured 1.17 ms/doc 1c vs 2.51 ms/doc per-core at 32-wide) —
     # extraction-family queries are adjudicated against THIS ratio.
-    probe.update(run_probe_fullwidth(sf_dir, n_docs=200, reps=2,
-                                     width=cpus))
+    try:
+        probe.update(run_probe_fullwidth(sf_dir, n_docs=200, reps=2,
+                                         width=cpus))
+    except Exception:
+        # a broken replica pool must not kill the bench — the artifact
+        # just lacks the fullwidth fields (and the adjudicated sum)
+        pass
     # Previous-round kernel A/B (verdict r6 #7): same probe on the last
     # "round N:" commit in a scratch worktree, interleaved reps — the
     # definitive code-vs-platform discriminator ({} on round 1 or when
@@ -108,13 +113,13 @@ def main() -> None:
     # noise only ever slows a run down.
     REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    def timed(fn) -> float:
-        best = float("inf")
+    def timed_all(fn) -> list:
+        times = []
         for _ in range(REPS):
             t = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t)
-        return round(best, 3)
+            times.append(time.monotonic() - t)
+        return times
 
     timings: dict = {}
     timings_mean: dict = {}
@@ -123,11 +128,13 @@ def main() -> None:
 
     # Headline: the replicated extraction corpus (160k pages at sf0.1) —
     # docs/sec on this is BASELINE.md's comparison axis.
-    timings["extract"] = timed(lambda: extract_pages(
+    extract_times = timed_all(lambda: extract_pages(
         pages, with_routing_column=False)
         .agg(F.sum(F.length("content")), F.sum("word_count"),
              F.count("error")).collect())
-    timings_mean["extract"] = timings["extract"]
+    timings["extract"] = round(min(extract_times), 3)
+    timings_mean["extract"] = round(
+        sum(extract_times) / len(extract_times), 3)
 
     # Every driver-contract query, timed by name (round-over-round
     # regressions are visible per query). The noop sink forces full

@@ -67,14 +67,18 @@ class _Stream:
     Corrupt compressed data does NOT end the stream or raise: one bad
     byte in a 100 TB crawl must not fail the task, and with Common
     Crawl's member-per-record convention it must not drop the rest of
-    the archive either. On zlib.error the stream RESYNCS at the next
-    gzip member magic in the raw bytes, discards the corrupt member's
-    partial decoded output, and raises a read BARRIER: reads drain
-    what decoded cleanly before the corruption, then come back short
-    until the caller acknowledges the boundary (``consume_resync``) —
-    so a partially-decoded record can never splice the next member's
-    bytes into its payload. Every resync is counted (``resyncs``) so
-    callers can surface the loss instead of eating it silently."""
+    the archive either. On zlib.error the stream REPLAYS the corrupt
+    member's compressed bytes in small slices to recover everything
+    that decoded cleanly before the corruption (zlib discards the
+    failing call's whole return value — up to 1 MB of compressed input
+    whose clean records would otherwise vanish, the entire file for a
+    single-member archive), RESYNCS at the next gzip member magic, and
+    raises a read BARRIER: reads drain what decoded cleanly before the
+    corruption, then come back short until the caller acknowledges the
+    boundary (``consume_resync``) — so a partially-decoded record can
+    never splice the next member's bytes into its payload. Every
+    resync is counted (``resyncs``) so callers can surface the loss
+    instead of eating it silently."""
 
     _CHUNK = 1 << 20
     _MAGIC = b"\x1f\x8b\x08"
@@ -89,11 +93,14 @@ class _Stream:
         self._dead = False
         self._z = zlib.decompressobj(wbits=31) if self._gzip else None
         # buf index where the CURRENT gzip member's decoded output starts
-        # (the rollback point when that member turns out corrupt)
+        # (fallback rollback point if a corrupt member can't be replayed)
         self._mark = 0
-        # raw offset of the bytes most recently fed to the decompressor
-        # (the resync scan starts just past it)
-        self._feed_start = 0
+        # raw offset where the CURRENT member's compressed bytes start
+        # (the replay window on corruption) and cumulative decoded bytes
+        # this member has delivered so far (how much of the replay output
+        # is already in _buf)
+        self._member_raw_start = 0
+        self._member_out = 0
         self._barrier = False
         self.resyncs = 0
 
@@ -111,31 +118,99 @@ class _Stream:
             self._off = 0
 
     def consume_resync(self) -> bool:
-        """Acknowledge a pending resync boundary: the caller saw the
-        short read, dropped the partial record, and wants to continue at
-        the next member (which is a record boundary under the
-        member-per-record convention). Returns False when no boundary is
-        pending (a short read then means genuine end of stream)."""
+        """Acknowledge a pending resync boundary: the caller hit the
+        corruption (short read or lost framing), dropped the partial
+        record, and wants to continue at the next member (a record
+        boundary under the member-per-record convention). Everything
+        still buffered is the corrupt member's SUSPECT TAIL — fills are
+        blocked while the barrier is pending, so nothing newer can be
+        behind it, and anything clean was consumed before the caller
+        hit trouble (a flip that keeps deflate structurally valid
+        decodes garbage which would otherwise be waded through as
+        header lines, losing framing for the whole rest of the file).
+        Drop it so the next parse starts exactly at the resync point.
+        Returns False when no boundary is pending (a short read then
+        means genuine end of stream)."""
         if not self._barrier:
             return False
+        del self._buf[self._off:]
+        self._mark = min(self._mark, len(self._buf))
         self._barrier = False
         return True
 
+    _REPLAY_SLICE = 4096
+
+    def _replay_member(self) -> int:
+        """Recover the corrupt member's decoded output up to the exact
+        corruption point: zlib.error discards the FAILING decompress
+        call's entire return value, which for a single-member archive or
+        a >1 MB member is up to 1 MB of compressed input whose clean
+        records would silently vanish. All of the member's compressed
+        bytes are slices of ``_rawb`` we still hold, so re-decompress
+        with a fresh object — one coarse pass to locate the failing
+        4 KB slice, then a second pass that replays the clean prefix
+        coarsely and the failing slice BYTE by byte, so the loss is the
+        decoded yield of a single compressed byte. Appends the part of
+        the output the buffer doesn't already hold."""
+        data = self._rawb[self._member_raw_start:self._pos]
+        z = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        consumed = 0
+
+        def feed(upto: int, step: int) -> bool:
+            nonlocal consumed
+            while consumed < upto:
+                end = min(consumed + step, upto)
+                out.extend(z.decompress(data[consumed:end]))
+                consumed = end
+                if z.eof:
+                    return True
+            return False
+
+        try:
+            feed(len(data), self._REPLAY_SLICE)
+        except zlib.error:
+            # refine: clean prefix coarsely, failing slice byte-by-byte
+            fail_at = consumed
+            z = zlib.decompressobj(wbits=31)
+            out = bytearray()
+            consumed = 0
+            try:
+                if not feed(fail_at, self._CHUNK):
+                    feed(len(data), 1)
+            except zlib.error:
+                pass
+        if len(out) >= self._member_out:
+            self._buf += out[self._member_out:]
+        else:
+            # replay produced less than was already delivered (should
+            # not happen — decompression is deterministic); fall back to
+            # the conservative discard so framing can't be corrupted
+            del self._buf[max(self._off, self._mark):]
+        return consumed
+
     def _resync(self) -> None:
-        # Discard the corrupt member's partial output — but never bytes
-        # already handed to the reader (those are unrecoverable; the
-        # barrier makes the reader drop that record instead).
-        del self._buf[max(self._off, self._mark):]
+        self._replay_member()
         self._barrier = True
         self.resyncs += 1
-        nxt = self._rawb.find(self._MAGIC, self._feed_start + 1)
+        # Scan for the next member from just past the corrupt member's
+        # OWN magic — never from the replay's consumed offset: a flip
+        # can leave deflate structurally valid while decoding garbage,
+        # so the failing member may have "consumed" the next members'
+        # compressed bytes as its own, and skipping that far would lose
+        # real records. Scanning early only risks false-positive magics
+        # (the 3-byte pattern inside this member's compressed data),
+        # which fail to decompress and land back here one step further —
+        # member_raw_start advances every time, so this terminates.
+        nxt = self._rawb.find(self._MAGIC, self._member_raw_start + 1)
         if nxt == -1:
             self._dead = True
             return
         self._pos = nxt
-        self._feed_start = nxt
+        self._member_raw_start = nxt
         self._z = zlib.decompressobj(wbits=31)
         self._mark = len(self._buf)
+        self._member_out = 0
 
     def _fill(self, need: int) -> None:
         if self._barrier:
@@ -170,27 +245,33 @@ class _Stream:
                 rest = bytes(z.unused_data or z.unconsumed_tail)
                 self._z = zlib.decompressobj(wbits=31)
                 self._mark = len(self._buf)
+                self._member_raw_start = self._pos - len(rest)
+                self._member_out = 0
                 if rest:
-                    self._feed_start = self._pos - len(rest)
-                    self._buf += self._z.decompress(rest, self._CHUNK)
+                    got = self._z.decompress(rest, self._CHUNK)
+                    self._member_out += len(got)
+                    self._buf += got
                 elif self._pos >= len(self._raw):
                     break
                 continue
             if z.unconsumed_tail:
                 # max_length left compressed input unconsumed: it MUST be
                 # re-fed before any new chunk, or bytes are silently lost
-                self._feed_start = self._pos - len(z.unconsumed_tail)
-                self._buf += z.decompress(z.unconsumed_tail, self._CHUNK)
+                got = z.decompress(z.unconsumed_tail, self._CHUNK)
+                self._member_out += len(got)
+                self._buf += got
                 continue
             if self._pos >= len(self._raw):
                 tail = z.flush()
                 if tail:
+                    self._member_out += len(tail)
                     self._buf += tail
                 break
             chunk = bytes(self._raw[self._pos:self._pos + self._CHUNK])
-            self._feed_start = self._pos
             self._pos += len(chunk)
-            self._buf += z.decompress(chunk, self._CHUNK)
+            got = z.decompress(chunk, self._CHUNK)
+            self._member_out += len(got)
+            self._buf += got
 
     def readline(self, limit: int = 1 << 16) -> bytes:
         probe = 256
@@ -357,8 +438,26 @@ def _decode_http_payload(payload: bytes):
     return status, headers.get("content-type"), body
 
 
-def iter_warc_records(raw: bytes, stats: Optional[dict] = None
-                      ) -> Iterator[dict]:
+def _digest_ok(header: str, payload: bytes) -> Optional[bool]:
+    """Check a WARC-Block-Digest header (``algo:value``, value in the
+    Common Crawl base32 convention or hex) against the payload. Returns
+    None when the algorithm is unknown (can't verify ≠ failed)."""
+    import base64
+    import hashlib
+
+    algo, _, want = header.partition(":")
+    try:
+        h = hashlib.new(algo.strip().lower(), payload)
+    except (ValueError, TypeError):
+        return None
+    b32 = base64.b32encode(h.digest()).decode()
+    want = want.strip()
+    return (want.upper().rstrip("=") == b32.rstrip("=")
+            or want.lower() == h.hexdigest())
+
+
+def iter_warc_records(raw: bytes, stats: Optional[dict] = None,
+                      verify_digests="auto") -> Iterator[dict]:
     """Yield per-record dicts from one WARC file's raw bytes (plain or
     multi-member gzip). Keys: warc headers (lower-cased) plus
     ``payload`` bytes. Malformed trailing garbage ends iteration
@@ -369,10 +468,22 @@ def iter_warc_records(raw: bytes, stats: Optional[dict] = None
     resyncs at the next member magic (a record boundary under the
     member-per-record convention) and iteration continues — every
     stop/short-read condition below first checks whether it was a
-    resync boundary rather than real end-of-data. ``stats`` (optional
-    dict) receives ``resyncs``: the count of corrupt members skipped,
-    so callers can surface the loss per file."""
+    resync boundary rather than real end-of-data.
+
+    Integrity: incremental decode hands out records BEFORE a gzip
+    member's trailing CRC is seen, so corruption that garbles bytes
+    without breaking the deflate structure (a flipped literal) can
+    surface as a parseable-but-wrong record. WARC's own per-record
+    ``WARC-Block-Digest`` header is the integrity layer that survives
+    this: ``verify_digests="auto"`` (default) checks it for every
+    record yielded once the stream has hit corruption — zero cost on
+    the clean 99.99% of files — and drops mismatching records;
+    ``True`` checks every record carrying the header; ``False`` never
+    does. ``stats`` (optional dict) receives ``resyncs`` (corrupt
+    members skipped) and ``digest_failures`` (records dropped by
+    verification), so callers can surface the loss per file."""
     stream = _Stream(raw)
+    digest_failures = 0
     try:
         while True:
             headers = _parse_headers(stream)
@@ -398,21 +509,38 @@ def iter_warc_records(raw: bytes, stats: Optional[dict] = None
                 if stream.consume_resync():
                     continue  # partial record dropped at the boundary
                 return  # truncated tail record
+            dig = headers.get("warc-block-digest")
+            if dig and (verify_digests is True
+                        or (verify_digests == "auto"
+                            and stream.resyncs > 0)):
+                ok = _digest_ok(dig, payload)
+                # On a stream that HIT corruption, an unparseable digest
+                # (ok is None — e.g. the value separator itself got
+                # garbled) counts as failed: "can't verify" on a suspect
+                # stream is not "verified". On a clean stream under
+                # verify_digests=True, an unknown algorithm passes
+                # through (legit archives may use digests hashlib lacks).
+                if ok is False or (ok is None and stream.resyncs > 0):
+                    digest_failures += 1
+                    continue
             headers["payload"] = payload
             yield headers
     finally:
         if stats is not None:
             stats["resyncs"] = stream.resyncs
+            stats["digest_failures"] = digest_failures
 
 
 def _records_to_rows(path: str, raw: bytes, warc_types: tuple,
                      session_tz: str = "UTC",
-                     resync_acc=None) -> Iterator[dict]:
+                     resync_acc=None, verify_digests="auto"
+                     ) -> Iterator[dict]:
     import pandas as pd
 
     stats: dict = {}
     n_rows = 0
-    for rec in iter_warc_records(raw, stats=stats):
+    for rec in iter_warc_records(raw, stats=stats,
+                                 verify_digests=verify_digests):
         n_rows += 1
         wtype = rec.get("warc-type", "")
         if warc_types and wtype not in warc_types:
@@ -459,9 +587,10 @@ def _records_to_rows(path: str, raw: bytes, warc_types: tuple,
         # always emitted; the optional accumulator makes the total
         # measurable from the driver across the whole read.
         log.warning(
-            "WARC %s: skipped %d corrupt gzip member(s) (resynced at the "
-            "next member magic); %d record(s) recovered", path,
-            stats["resyncs"], n_rows)
+            "WARC %s: hit %d corrupt gzip member(s) (replayed + resynced "
+            "at the next member magic); %d record(s) recovered, %d "
+            "dropped by WARC-Block-Digest verification", path,
+            stats["resyncs"], n_rows, stats.get("digest_failures", 0))
         if resync_acc is not None:
             resync_acc.add(stats["resyncs"])
 
@@ -499,20 +628,36 @@ def _hdr_value(v: str) -> str:
     return v.replace("\r", "%0D").replace("\n", "%0A")
 
 
+def block_digest(payload: bytes) -> str:
+    """WARC-Block-Digest value in the Common Crawl convention:
+    ``sha1:`` + unpadded upper-case base32 of the payload sha1."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(payload).digest()).decode().rstrip("=")
+
+
 def build_warc_record(payload: bytes, url: Optional[str] = None,
                       warc_type: str = "response",
                       content_type: str = "application/http; "
                                           "msgtype=response",
                       date: str = "2024-03-01T12:00:00Z",
-                      record_id: str = "<urn:uuid:0>") -> bytes:
+                      record_id: str = "<urn:uuid:0>",
+                      with_digest: bool = False) -> bytes:
     """Serialize one WARC/1.0 record (headers + payload + the spec's
-    two trailing CRLF). Header values are CR/LF-sanitized."""
+    two trailing CRLF). Header values are CR/LF-sanitized.
+    ``with_digest=True`` stamps a ``WARC-Block-Digest`` header — the
+    per-record integrity layer the reader's ``verify_digests`` checks
+    when an archive turns out corrupt."""
     head = ["WARC/1.0",
             "WARC-Type: " + _hdr_value(warc_type),
             "WARC-Date: " + _hdr_value(date),
             "WARC-Record-ID: " + _hdr_value(record_id),
             "Content-Type: " + _hdr_value(content_type),
             "Content-Length: " + str(len(payload))]
+    if with_digest:
+        head.insert(-1, "WARC-Block-Digest: " + block_digest(payload))
     if url is not None:
         head.insert(2, "WARC-Target-URI: " + _hdr_value(url))
     return ("\r\n".join(head) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
@@ -536,7 +681,8 @@ def build_warc_archive(records: Iterable[bytes],
 
 def read_warc(spark: SparkSession, path: str,
               warc_types: Iterable[str] = ("response",),
-              batch_rows: int = 256, resync_acc=None) -> DataFrame:
+              batch_rows: int = 256, resync_acc=None,
+              verify_digests="auto") -> DataFrame:
     """Read WARC archives into the pages shape: one row per (matching)
     record with (url, warc_ts, html binary, ...) — feed
     ``.select("url", "html")`` straight into extract_pages. ``path``
@@ -546,21 +692,26 @@ def read_warc(spark: SparkSession, path: str,
     pass () for everything — request/metadata/warcinfo records
     included). Non-HTTP records keep their raw payload in ``html``.
 
-    A corrupt gzip member loses only its own record (the parser resyncs
-    at the next member boundary); pass ``resync_acc`` — a
+    A corrupt gzip member loses only its own record (the parser replays
+    the member up to the corruption and resyncs at the next member
+    boundary); pass ``resync_acc`` — a
     ``spark.sparkContext.accumulator(0)`` — to count skipped members
     across the whole read from the driver (each skip also logs a
     warning with the archive path on the executor).
+    ``verify_digests`` gates WARC-Block-Digest checking (see
+    iter_warc_records; the "auto" default verifies only records from
+    streams that hit corruption).
     """
     types = tuple(warc_types or ())
     session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        _warc_gen(types, batch_rows, session_tz, resync_acc), WARC_SCHEMA)
+        _warc_gen(types, batch_rows, session_tz, resync_acc,
+                  verify_digests), WARC_SCHEMA)
 
 
 def _warc_gen(types: tuple, batch_rows: int, session_tz: str,
-              resync_acc=None):
+              resync_acc=None, verify_digests="auto"):
     def gen(batches):
         import pandas as pd
 
@@ -569,7 +720,8 @@ def _warc_gen(types: tuple, batch_rows: int, session_tz: str,
             for path_, content in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for row in _records_to_rows(path_, bytes(content), types,
-                                            session_tz, resync_acc):
+                                            session_tz, resync_acc,
+                                            verify_digests):
                     rows.append(row)
                     if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=cols)
@@ -593,7 +745,7 @@ def read_warc_stream(spark: SparkSession, path: str,
                      warc_types: Iterable[str] = ("response",),
                      batch_rows: int = 256,
                      max_files_per_trigger: Optional[int] = None,
-                     resync_acc=None) -> DataFrame:
+                     resync_acc=None, verify_digests="auto") -> DataFrame:
     """Streaming read_warc: archives LANDING in a directory (a crawl in
     progress, an object-store drop zone) flow through the same
     incremental parser as micro-batches of whole new files — the file
@@ -614,7 +766,8 @@ def read_warc_stream(spark: SparkSession, path: str,
                                int(max_files_per_trigger))
     files = reader.load(path)
     return files.select("path", "content").mapInPandas(
-        _warc_gen(types, batch_rows, session_tz, resync_acc), WARC_SCHEMA)
+        _warc_gen(types, batch_rows, session_tz, resync_acc,
+                  verify_digests), WARC_SCHEMA)
 
 
 WARC_WRITE_SCHEMA = StructType([
@@ -667,17 +820,29 @@ def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
     # confusingly on an object-store URI (and the driver-side stale-file
     # glob below would silently see nothing there). Refuse up front with
     # the deployment recipe — mirrors the Iceberg sink's refusal pattern.
-    scheme = urlsplit(out_dir).scheme
-    if scheme == "file":
-        out_dir = out_dir[len("file://"):] or "/"
-    elif scheme:
+    split = urlsplit(out_dir)
+    remote = {"s3", "s3a", "s3n", "gs", "gcs", "hdfs", "abfs", "abfss",
+              "wasb", "wasbs", "oss", "cos", "viewfs", "o3fs", "ofs"}
+    if split.scheme == "file":
+        # the URI's PATH, not a fixed-width prefix strip: 'file:/x',
+        # 'file:///x' and 'file://localhost/x' all mean local /x
+        if split.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"write_warc: file:// host {split.netloc!r} is not this "
+                "machine; mount the share and pass its local path")
+        out_dir = split.path or "/"
+    elif split.scheme in remote or (split.scheme
+                                    and out_dir.startswith(
+                                        split.scheme + "://")):
+        # known Hadoop-FS schemes, or anything in URI authority form;
+        # a relative posix path with a colon ('out:2026/x') stays a path
         raise ValueError(
             f"write_warc writes with local open(); out_dir scheme "
-            f"'{scheme}://' is not a posix path. Deployment options: "
-            "(a) mount the store (s3fs/goofys fuse, NFS) and pass the "
-            "mount path; (b) write to local/scratch storage sized "
-            "records_per_file for ~1 GB archives and upload with the "
-            "store's bulk CLI after the manifest action completes.")
+            f"'{split.scheme}://' is not a posix path. Deployment "
+            "options: (a) mount the store (s3fs/goofys fuse, NFS) and "
+            "pass the mount path; (b) write to local/scratch storage "
+            "sized records_per_file for ~1 GB archives and upload with "
+            "the store's bulk CLI after the manifest action completes.")
 
     has_ts = "warc_ts" in df.columns
     has_status = "http_status" in df.columns
@@ -755,9 +920,13 @@ def write_warc(df: DataFrame, out_dir: str, records_per_file: int = 256,
                     f"{row.url}\x00{date}\x00{pid}\x00"
                     f"{state['rec_n']}".encode()).hexdigest() + ">"
                 state["rec_n"] += 1
+                # with_digest: emitted archives carry the per-record
+                # integrity header, so a later corrupt-member recovery
+                # on the read side can verify what it salvages
                 write_record(build_warc_record(
                     build_http_response(html, status=status),
-                    url=row.url, date=date, record_id=rec_id))
+                    url=row.url, date=date, record_id=rec_id,
+                    with_digest=True))
                 if state["n"] >= records_per_file:
                     manifest.extend(close_file())
             if manifest:

@@ -124,8 +124,10 @@ def test_decode_http_payload_transport_artifacts():
 
 
 def test_iter_warc_records_corrupt_gzip_ends_not_raises():
-    """A flipped byte mid-archive or trailing non-gzip garbage must end
-    iteration (capture artifact), never crash the task."""
+    """A flipped byte mid-archive or trailing non-gzip garbage must
+    never crash the task — and since round 7's replay pass, a flip that
+    lands in a member's CRC TRAILER (deflate data intact) recovers the
+    record byte-exact instead of dropping it."""
     from defuddle_spark.spark.warc import iter_warc_records
     good = gzip.compress(
         _warc_record("https://w.example.test/0", _http_payload(_page(0))))
@@ -133,13 +135,17 @@ def test_iter_warc_records_corrupt_gzip_ends_not_raises():
     recs = list(iter_warc_records(good + b"\x00garbage-not-gzip\xff" * 4))
     assert [r["warc-target-uri"] for r in recs] == \
         ["https://w.example.test/0"]
-    # corrupted second member (CRC byte flipped)
+    # second member's CRC byte flipped: deflate stream is intact, so the
+    # replay recovers the record with byte-identical payload
     bad = bytearray(gzip.compress(
         _warc_record("https://w.example.test/1", _http_payload(_page(1)))))
     bad[-5] ^= 0xFF
-    recs = list(iter_warc_records(good + bytes(bad)))
+    stats = {}
+    recs = list(iter_warc_records(good + bytes(bad), stats=stats))
     assert [r["warc-target-uri"] for r in recs] == \
-        ["https://w.example.test/0"]
+        ["https://w.example.test/0", "https://w.example.test/1"]
+    assert recs[1]["payload"].endswith(_page(1))
+    assert stats["resyncs"] == 1  # the corruption is still surfaced
 
 
 def test_iter_warc_records_resyncs_past_corrupt_member():
@@ -174,6 +180,92 @@ def test_iter_warc_records_resyncs_past_corrupt_member():
     assert len(list(iter_warc_records(b"".join(members),
                                       stats=clean_stats))) == 200
     assert clean_stats["resyncs"] == 0
+
+
+def _noisy_page(i: int, n: int = 40) -> bytes:
+    """Deterministic low-compressibility page (md5-hex words): realistic
+    gzip ratios, so corruption tests exercise multi-slice replay instead
+    of a whole archive collapsing into one compressed KB."""
+    import hashlib
+    words = " ".join(hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+                     for j in range(n))
+    return (f"<html><body><p>{words}</p></body></html>").encode()
+
+
+def test_iter_warc_records_single_member_replay_recovery():
+    """A SINGLE-member gzip archive (every record in one stream) with a
+    mid-file corruption must keep its clean prefix: zlib.error discards
+    the failing decompress call's entire output, so without the replay
+    pass everything before the corruption silently vanished too."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    members = [_warc_record(f"https://sm.example.test/{i}",
+                            _http_payload(_noisy_page(i)),
+                            rec_id=f"<urn:uuid:{i}>".encode())
+               for i in range(40)]
+    single = gzip.compress(b"".join(members))
+    bad = bytearray(single)
+    bad[len(bad) // 2] ^= 0xFF
+    stats = {}
+    recs = list(iter_warc_records(bytes(bad), stats=stats))
+    assert stats["resyncs"] == 1
+    assert len(recs) >= 15  # the clean prefix survives
+    for i, r in enumerate(recs[:15]):  # and is byte-intact, in order
+        assert r["warc-target-uri"] == f"https://sm.example.test/{i}"
+        assert r["payload"].endswith(_noisy_page(i))
+    # the untouched archive still parses completely
+    assert len(list(iter_warc_records(single))) == 40
+
+
+def test_block_digest_verification_drops_garbled_records():
+    """Corruption that flips a literal WITHOUT breaking the deflate
+    structure yields a parseable-but-wrong record (only the member CRC
+    catches it, after delivery). WARC-Block-Digest is the per-record
+    integrity layer: under the default "auto" mode a resynced stream
+    verifies every record it yields and drops the garbled one."""
+    from defuddle_spark.spark.warc import (block_digest,
+                                           build_warc_record,
+                                           iter_warc_records)
+
+    # stamp digests the way write_warc does
+    with_dig = [build_warc_record(
+        _http_payload(_noisy_page(i)), url=f"https://dg.example.test/{i}",
+        record_id=f"<urn:uuid:{i}>", with_digest=True) for i in range(40)]
+    single = gzip.compress(b"".join(with_dig))
+    bad = bytearray(single)
+    bad[len(bad) // 2] ^= 0xFF
+    stats = {}
+    recs = list(iter_warc_records(bytes(bad), stats=stats))
+    assert stats["resyncs"] == 1
+    # the verification contract: every surviving record that still
+    # CARRIES a digest header is byte-correct (a flip can garble the
+    # header block itself away, leaving an unverifiable record — those
+    # are detectable downstream by their junk url/content, but a
+    # payload-garbled record with an intact digest NEVER survives)
+    for r in recs:
+        if "warc-block-digest" in r:
+            i = int(r["warc-target-uri"].rsplit("/", 1)[1])
+            assert r["payload"].endswith(_noisy_page(i))
+    assert len(recs) + stats["digest_failures"] <= 40
+    # a clean archive: digests never checked under auto (zero cost)
+    clean_stats = {}
+    assert len(list(iter_warc_records(single, stats=clean_stats))) == 40
+    assert clean_stats["digest_failures"] == 0
+
+    # verify_digests=True checks even without corruption: tamper with
+    # one record's payload byte but keep framing + digest header
+    rec = with_dig[7]
+    t = bytearray(rec)
+    t[rec.find(b"\r\n\r\n") + 200] ^= 0xFF  # flip inside the payload
+    tampered = b"".join(with_dig[:7]) + bytes(t) + b"".join(with_dig[8:])
+    s2 = {}
+    kept = list(iter_warc_records(tampered, stats=s2,
+                                  verify_digests=True))
+    assert s2["digest_failures"] == 1
+    assert len(kept) == 39
+    assert all(r["warc-target-uri"] != "https://dg.example.test/7"
+               for r in kept)
+    # digest helper emits the Common Crawl convention
+    assert block_digest(b"x").startswith("sha1:")
 
 
 def test_readline_limit_consistent_across_compression():
@@ -383,10 +475,19 @@ def test_write_warc_refuses_object_store_paths(spark, tmp_path):
                 "gs://bucket/out"):
         with pytest.raises(ValueError, match="posix"):
             write_warc(pages, uri)  # raises before any action
-    # file:// is a posix path in disguise — accepted and stripped
-    out = str(tmp_path / "fileuri")
-    write_warc(pages, "file://" + out).collect()
-    assert read_warc(spark, out).count() == 1
+    # a file:// host that isn't this machine is refused too
+    with pytest.raises(ValueError, match="host"):
+        write_warc(pages, "file://nas.internal/exports/out")
+    # file: URIs are posix paths in disguise — every spelling resolves
+    # to the URI's PATH (a fixed-prefix strip mangled 'file:/x')
+    for i, uri in enumerate(["file://{}", "file:{}", "file://localhost{}"]):
+        out = str(tmp_path / f"fileuri{i}")
+        write_warc(pages, uri.format(out)).collect()
+        assert read_warc(spark, out).count() == 1, uri
+    # a relative path whose first segment contains a colon is a PATH,
+    # not a scheme — the eager guard must not refuse it (guard fires at
+    # call time; not collected, since executor cwd is not the test's)
+    write_warc(pages, "out:2026/emitted")  # no ValueError
 
 
 def test_write_warc_roundtrip(spark, tmp_path):

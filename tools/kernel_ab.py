@@ -49,13 +49,38 @@ def _probe_once(root: str, sf_dir: str, n_docs: int) -> float:
                  ["kernel_ms_per_doc"])
 
 
+def _prev_round_sha() -> str:
+    """The newest 'round N:' commit belonging to a COMPLETED round —
+    capped by max(CORRECTNESS_r*.json), the same completed-round rule
+    bench.py's shared-sum comparison uses. Without the cap, a bench
+    re-run after the driver commits the CURRENT round's ledger would
+    A/B the kernel against itself and report ratio 1.0 over any real
+    regression."""
+    import glob
+    import re
+
+    corr = [int(m.group(1)) for p in
+            glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))]
+    if not corr:
+        return ""  # round 1: nothing completed to compare against
+    cap = max(corr)
+    lines = _git("log", "-E", "--grep", r"^round [0-9]+:",
+                 "-n", "10", "--format=%H %s")
+    for line in lines.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+):", subject)
+        if m and int(m.group(1)) <= cap:
+            return sha
+    return ""
+
+
 def run_kernel_ab(sf_dir: str = "/root/testdata/sf0.01",
                   n_docs: int = 500, reps: int = 3) -> dict:
     """Returns the kernel_ab_* fields, or {} when there is no previous
     round commit / no usable git state (round 1, detached sandboxes)."""
     try:
-        sha = _git("log", "-E", "--grep", r"^round [0-9]+:",
-                   "-n", "1", "--format=%H")
+        sha = _prev_round_sha()
     except (subprocess.CalledProcessError, OSError):
         return {}
     if not sha:

@@ -115,12 +115,19 @@ def run_probe(sf_dir: str = "/root/testdata/sf0.01", n_docs: int = 500,
             os.sched_setaffinity(0, old_affinity)
 
 
+# fork-shared page set for the full-width replicas: set in the parent
+# BEFORE the Pool forks, read by workers copy-on-write — passing pages
+# through pool.map task args would pickle the corpus once per replica
+_FW_PAGES: list = []
+
+
 def _fullwidth_worker(args) -> float:
     """One pinned replica: warm up, wait for the common barrier, then
     time ``reps`` consecutive passes over the page set. Returns total
     timed seconds (all replicas run the same work, so the SLOWEST total
-    is the full-contention wall)."""
-    core, pages, reps, barrier = args
+    is the full-contention wall), or NaN if the barrier broke (a
+    replica died — the probe must fail visibly, not hang the bench)."""
+    core, reps, barrier = args
     import time as _time
 
     if hasattr(os, "sched_setaffinity"):
@@ -129,9 +136,13 @@ def _fullwidth_worker(args) -> float:
         except OSError:
             pass
     from defuddle_spark.kernel import extract_document_bytes
+    pages = _FW_PAGES
     for url, html in pages[:50]:
         extract_document_bytes(html, url=url)
-    barrier.wait()
+    try:
+        barrier.wait(timeout=120)
+    except Exception:  # BrokenBarrierError (threading's, via the proxy)
+        return float("nan")
     t0 = _time.monotonic()
     for _ in range(reps):
         for url, html in pages:
@@ -151,23 +162,37 @@ def run_probe_fullwidth(sf_dir: str = "/root/testdata/sf0.01",
     53% regression. ``kernel_ms_per_doc_fullwidth`` is the per-replica
     per-doc time under full contention — the number a full-width bench
     delta should be adjudicated against."""
+    import math
     import multiprocessing as mp
 
+    global _FW_PAGES
     if width is None:
         width = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    pages = build_pages(sf_dir, n_docs)
-    ctx = mp.get_context("fork")  # pages ride fork COW, no pickling cost
-    with ctx.Manager() as mgr:
-        barrier = mgr.Barrier(width)
-        with ctx.Pool(width) as pool:
-            totals = pool.map(
-                _fullwidth_worker,
-                [(core, pages, reps, barrier) for core in range(width)])
+    _FW_PAGES = build_pages(sf_dir, n_docs)
+    n = len(_FW_PAGES)
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = mp.get_context("fork")  # pages ride fork COW, no pickling
+        with ctx.Manager() as mgr:
+            barrier = mgr.Barrier(width)
+            # ProcessPoolExecutor (not mp.Pool): a replica killed
+            # mid-task raises BrokenProcessPool instead of hanging map()
+            with ProcessPoolExecutor(max_workers=width,
+                                     mp_context=ctx) as pool:
+                totals = list(pool.map(
+                    _fullwidth_worker,
+                    [(core, reps, barrier) for core in range(width)]))
+    finally:
+        _FW_PAGES = []
+    if any(math.isnan(t) for t in totals):
+        raise RuntimeError(
+            "full-width probe: a replica died before the start barrier")
     return {
         "kernel_ms_per_doc_fullwidth": round(
-            max(totals) * 1000 / (reps * len(pages)), 4),
+            max(totals) * 1000 / (reps * n), 4),
         "probe_fullwidth_width": width,
-        "probe_fullwidth_docs": len(pages),
+        "probe_fullwidth_docs": n,
         "probe_fullwidth_reps": reps,
     }
 
