@@ -83,7 +83,7 @@ class _Stream:
     _CHUNK = 1 << 20
     _MAGIC = b"\x1f\x8b\x08"
 
-    def __init__(self, raw: bytes):
+    def __init__(self, raw: bytes, archive: bool = False):
         self._gzip = raw[:2] == b"\x1f\x8b"
         self._rawb = raw
         self._raw = memoryview(raw)
@@ -91,6 +91,30 @@ class _Stream:
         self._buf = bytearray()
         self._off = 0  # read cursor into _buf; compacted lazily
         self._dead = False
+        self.resyncs = 0
+        if (archive and not self._gzip
+                and not raw[:16].lstrip(b"\r\n").startswith(b"WARC/")):
+            # archive=True only: HTTP payloads / chunked bodies wrapped
+            # in _Stream must never be member-scanned (a gzip
+            # Content-Encoding body CONTAINS the magic bytes).
+            # Neither gzip magic nor a plain-WARC version line at the
+            # start: a corrupt FIRST member header (the 2-byte sniff is
+            # exactly as fragile as any other byte). Without this, the
+            # whole file would silently parse as an empty plain archive
+            # — zero records, zero accounting. Resync to the first
+            # member magic and count it.
+            nxt = raw.find(self._MAGIC)
+            if nxt != -1:
+                self._gzip = True
+                self._pos = nxt
+                self.resyncs += 1
+            elif raw:
+                # Nonempty, not gzip, not plain WARC, no member magic
+                # anywhere: the file is unparseable (e.g. a flip that
+                # destroyed the only member's magic). It will yield zero
+                # records — count the event so that outcome is surfaced
+                # as corruption, never as a silently-empty archive.
+                self.resyncs += 1
         self._z = zlib.decompressobj(wbits=31) if self._gzip else None
         # buf index where the CURRENT gzip member's decoded output starts
         # (fallback rollback point if a corrupt member can't be replayed)
@@ -99,10 +123,9 @@ class _Stream:
         # (the replay window on corruption) and cumulative decoded bytes
         # this member has delivered so far (how much of the replay output
         # is already in _buf)
-        self._member_raw_start = 0
+        self._member_raw_start = self._pos
         self._member_out = 0
         self._barrier = False
-        self.resyncs = 0
 
     def _avail(self) -> int:
         return len(self._buf) - self._off
@@ -479,11 +502,17 @@ def iter_warc_records(raw: bytes, stats: Optional[dict] = None,
     record yielded once the stream has hit corruption — zero cost on
     the clean 99.99% of files — and drops mismatching records;
     ``True`` checks every record carrying the header; ``False`` never
-    does. ``stats`` (optional dict) receives ``resyncs`` (corrupt
-    members skipped) and ``digest_failures`` (records dropped by
-    verification), so callers can surface the loss per file."""
-    stream = _Stream(raw)
+    does. A digest can't catch byte-PERFECT duplicates (a corrupt
+    LZ77 back-reference can make deflate re-emit whole earlier
+    records), so once a stream has hit corruption, records whose
+    WARC-Record-ID was already yielded are suppressed too. ``stats``
+    (optional dict) receives ``resyncs`` (corruption events),
+    ``digest_failures`` (records dropped by verification) and
+    ``duplicate_drops``, so callers can surface the loss per file."""
+    stream = _Stream(raw, archive=True)
     digest_failures = 0
+    duplicate_drops = 0
+    seen_ids: set = set()
     try:
         while True:
             headers = _parse_headers(stream)
@@ -523,12 +552,23 @@ def iter_warc_records(raw: bytes, stats: Optional[dict] = None,
                 if ok is False or (ok is None and stream.resyncs > 0):
                     digest_failures += 1
                     continue
+            # ids are tracked from the first record (a set add per
+            # record) so a post-corruption duplicate of a record yielded
+            # BEFORE detection is still caught; suppression itself only
+            # engages once the stream is known corrupt.
+            rid = headers.get("warc-record-id")
+            if rid is not None:
+                if rid in seen_ids and stream.resyncs > 0:
+                    duplicate_drops += 1
+                    continue
+                seen_ids.add(rid)
             headers["payload"] = payload
             yield headers
     finally:
         if stats is not None:
             stats["resyncs"] = stream.resyncs
             stats["digest_failures"] = digest_failures
+            stats["duplicate_drops"] = duplicate_drops
 
 
 def _records_to_rows(path: str, raw: bytes, warc_types: tuple,

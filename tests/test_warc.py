@@ -136,9 +136,11 @@ def test_iter_warc_records_corrupt_gzip_ends_not_raises():
     assert [r["warc-target-uri"] for r in recs] == \
         ["https://w.example.test/0"]
     # second member's CRC byte flipped: deflate stream is intact, so the
-    # replay recovers the record with byte-identical payload
+    # replay recovers the record with byte-identical payload (distinct
+    # record id — duplicate-id suppression is live once a stream resyncs)
     bad = bytearray(gzip.compress(
-        _warc_record("https://w.example.test/1", _http_payload(_page(1)))))
+        _warc_record("https://w.example.test/1", _http_payload(_page(1)),
+                     rec_id=b"<urn:uuid:r1-second>")))
     bad[-5] ^= 0xFF
     stats = {}
     recs = list(iter_warc_records(good + bytes(bad), stats=stats))
