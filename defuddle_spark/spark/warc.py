@@ -92,8 +92,17 @@ class _Stream:
         self._off = 0  # read cursor into _buf; compacted lazily
         self._dead = False
         self.resyncs = 0
-        if (archive and not self._gzip
-                and not raw[:16].lstrip(b"\r\n").startswith(b"WARC/")):
+        plain_warc = False
+        if archive and not self._gzip:
+            # Match the parser's real blank-line tolerance (any number
+            # of leading CRLFs), not a fixed window: a 16-byte peek
+            # misclassified valid plain archives with >5 blank lines
+            # and re-read them as gzip from inside a payload.
+            i = 0
+            while i < len(raw) and raw[i] in (0x0D, 0x0A):
+                i += 1
+            plain_warc = raw[i:i + 5] == b"WARC/"
+        if archive and not self._gzip and not plain_warc:
             # archive=True only: HTTP payloads / chunked bodies wrapped
             # in _Stream must never be member-scanned (a gzip
             # Content-Encoding body CONTAINS the magic bytes).
@@ -505,9 +514,20 @@ def iter_warc_records(raw: bytes, stats: Optional[dict] = None,
     does. A digest can't catch byte-PERFECT duplicates (a corrupt
     LZ77 back-reference can make deflate re-emit whole earlier
     records), so once a stream has hit corruption, records whose
-    WARC-Record-ID was already yielded are suppressed too. ``stats``
-    (optional dict) receives ``resyncs`` (corruption events),
-    ``digest_failures`` (records dropped by verification) and
+    WARC-Record-ID was already yielded are suppressed too.
+
+    Detection-window caveat: "auto" protects records yielded AFTER the
+    corruption is detected. For member-per-record archives (the Common
+    Crawl convention, and what write_warc emits) detection effectively
+    precedes the corrupt member's yields — small members decode whole
+    inside the erroring call. For SINGLE-member / multi-MB-member
+    archives, a flip that keeps deflate structurally valid is only
+    caught by the member-end CRC, so garbled records decoded and
+    consumed between the flip and the member end can slip through
+    unverified; ``stats["resyncs"] > 0`` marks the file, and a caller
+    needing certainty re-reads that file with ``verify_digests=True``.
+    ``stats`` (optional dict) receives ``resyncs`` (corruption
+    events), ``digest_failures`` (records dropped by verification) and
     ``duplicate_drops``, so callers can surface the loss per file."""
     stream = _Stream(raw, archive=True)
     digest_failures = 0
@@ -627,10 +647,13 @@ def _records_to_rows(path: str, raw: bytes, warc_types: tuple,
         # always emitted; the optional accumulator makes the total
         # measurable from the driver across the whole read.
         log.warning(
-            "WARC %s: hit %d corrupt gzip member(s) (replayed + resynced "
-            "at the next member magic); %d record(s) recovered, %d "
-            "dropped by WARC-Block-Digest verification", path,
-            stats["resyncs"], n_rows, stats.get("digest_failures", 0))
+            "WARC %s: %d corruption event(s) (corrupt/unparseable gzip "
+            "members; replayed + resynced where a next member magic "
+            "exists); %d record(s) recovered, %d dropped by "
+            "WARC-Block-Digest verification, %d duplicate-id record(s) "
+            "suppressed", path, stats["resyncs"], n_rows,
+            stats.get("digest_failures", 0),
+            stats.get("duplicate_drops", 0))
         if resync_acc is not None:
             resync_acc.add(stats["resyncs"])
 

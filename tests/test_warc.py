@@ -270,6 +270,28 @@ def test_block_digest_verification_drops_garbled_records():
     assert block_digest(b"x").startswith("sha1:")
 
 
+def test_plain_archive_with_leading_blank_lines_and_gzip_payload():
+    """A valid PLAIN archive prefixed by many blank lines (which the
+    header parser tolerates) whose record carries a gzip
+    Content-Encoding body must parse normally — the archive sniff must
+    match the parser's real blank-line tolerance, not a fixed peek
+    window, or the file gets reinterpreted as gzip from inside the
+    payload (review r7: 0 records, resyncs=2 on a valid file)."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    raw = (b"\r\n" * 6
+           + _warc_record("https://p.example.test/0",
+                          _http_payload(_page(0), content_gzip=True),
+                          rec_id=b"<urn:uuid:p0>")
+           + _warc_record("https://p.example.test/1",
+                          _http_payload(_page(1)),
+                          rec_id=b"<urn:uuid:p1>"))
+    stats = {}
+    recs = list(iter_warc_records(raw, stats=stats))
+    assert [r["warc-target-uri"] for r in recs] == \
+        ["https://p.example.test/0", "https://p.example.test/1"]
+    assert stats["resyncs"] == 0
+
+
 def test_readline_limit_consistent_across_compression():
     """An overlong header line must parse IDENTICALLY from plain and
     gzip archives: gzip decodes ~1 MB chunks, so the newline used to be
