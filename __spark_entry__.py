@@ -860,6 +860,24 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over a corpus with PLANTED
+    repetition: each document becomes text + a repeated-line copy + a
+    paragraph break + its own 80-char prefix + a unique tail, so every
+    signal (duplicate lines/paragraph fractions, top-n-gram character
+    coverage) takes a nontrivial, deterministic value the oracle
+    recomputes cell-for-cell with DuckDB list/window functions."""
+    from defuddle_spark.ops.textstats import repetition_signals
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    rep = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n"), F.col("text"),
+                 F.lit("\n\n"), F.substring("text", 1, 80),
+                 F.lit("\nunique "),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return repetition_signals(rep)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.textstats import fingerprint
     return fingerprint(_docs(spark, sf_dir))
@@ -1135,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "embedding_centroids": q_embedding_centroids,
         "text_quality": q_text_quality,
+        "repetition_stats": q_repetition_stats,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
@@ -1796,6 +1815,79 @@ def _all_oracles() -> dict[str, str]:
                          + (1.0 - least((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
                                         / greatest(length(text), 1) * 10.0, 1.0)) * 0.2, 6) AS quality_score
             FROM documents
+        """,
+        "repetition_stats": """
+            -- Gopher repetition filters over the planted-repetition
+            -- construction (text + repeated line + paragraph break +
+            -- 80-char prefix + unique tail); same formulas as
+            -- ops/textstats.repetition_signals, DuckDB list/window form
+            WITH rep AS (
+              SELECT doc_id,
+                     text || chr(10) || text || chr(10) || chr(10)
+                          || substr(text, 1, 80) || chr(10) || 'unique '
+                          || CAST(doc_id AS VARCHAR) AS t
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, t, length(t) AS chars,
+                     list_filter(str_split(t, chr(10)),
+                                 x -> length(trim(x)) > 0) AS lines,
+                     list_filter(str_split(t, chr(10) || chr(10)),
+                                 x -> length(trim(x)) > 0) AS paras,
+                     regexp_split_to_array(trim(t), '\\s+') AS toks
+              FROM rep
+            ),
+            grams AS (
+              SELECT b.doc_id, ns.n,
+                     unnest(list_transform(
+                       generate_series(1, len(b.toks) - ns.n + 1),
+                       i -> array_to_string(b.toks[i:i + ns.n - 1], ' ')
+                     )) AS gram
+              FROM base b
+              CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns
+              WHERE len(b.toks) >= ns.n
+            ),
+            cnt AS (
+              SELECT doc_id, n, gram, count(*) AS c
+              FROM grams GROUP BY doc_id, n, gram
+            ),
+            ranked AS (
+              SELECT doc_id, n, c * length(gram) AS cov,
+                     row_number() OVER (
+                       PARTITION BY doc_id, n
+                       ORDER BY c DESC, c * length(gram) DESC, gram DESC
+                     ) AS rn
+              FROM cnt
+            ),
+            top AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN cov END) AS cov2,
+                     max(CASE WHEN n = 3 THEN cov END) AS cov3,
+                     max(CASE WHEN n = 4 THEN cov END) AS cov4
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(len(b.lines) AS INTEGER) AS n_lines,
+                   CAST(len(b.paras) AS INTEGER) AS n_paras,
+                   round((len(b.lines) - len(list_distinct(b.lines)))::DOUBLE
+                         / greatest(len(b.lines), 1), 6) AS dup_line_frac,
+                   round((coalesce(list_sum(list_transform(b.lines, x -> length(x))), 0)
+                          - coalesce(list_sum(list_transform(list_distinct(b.lines), x -> length(x))), 0))::DOUBLE
+                         / greatest(coalesce(list_sum(list_transform(b.lines, x -> length(x))), 0), 1),
+                         6) AS dup_line_char_frac,
+                   round((len(b.paras) - len(list_distinct(b.paras)))::DOUBLE
+                         / greatest(len(b.paras), 1), 6) AS dup_para_frac,
+                   round((coalesce(list_sum(list_transform(b.paras, x -> length(x))), 0)
+                          - coalesce(list_sum(list_transform(list_distinct(b.paras), x -> length(x))), 0))::DOUBLE
+                         / greatest(coalesce(list_sum(list_transform(b.paras, x -> length(x))), 0), 1),
+                         6) AS dup_para_char_frac,
+                   round(least(1.0, coalesce(tp.cov2, 0)::DOUBLE
+                               / greatest(b.chars, 1)), 6) AS top_2gram_char_frac,
+                   round(least(1.0, coalesce(tp.cov3, 0)::DOUBLE
+                               / greatest(b.chars, 1)), 6) AS top_3gram_char_frac,
+                   round(least(1.0, coalesce(tp.cov4, 0)::DOUBLE
+                               / greatest(b.chars, 1)), 6) AS top_4gram_char_frac
+            FROM base b LEFT JOIN top tp USING (doc_id)
         """,
         "fingerprint": f"""
             SELECT doc_id,

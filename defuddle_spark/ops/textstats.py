@@ -131,6 +131,104 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       ngram_ns: tuple = (2, 3, 4)) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1)
+    — the quality signals that catch boilerplate/spam pages C4-style
+    ratio filters miss: documents dominated by REPEATED lines,
+    paragraphs, or n-grams.
+
+    Per document: (n_lines, n_paras, dup_line_frac, dup_line_char_frac,
+    dup_para_frac, dup_para_char_frac, top_{n}gram_char_frac per n).
+
+    - dup_*_frac: fraction of lines/paragraphs that are repeats of an
+      earlier one ((count − distinct) / count). Lines split on "\\n",
+      paragraphs on "\\n\\n", blank-after-trim entries dropped.
+    - dup_*_char_frac: fraction of line/paragraph characters sitting in
+      those repeats ((total chars − distinct-entry chars) / total).
+    - top_{n}gram_char_frac: characters covered by the MOST frequent
+      word n-gram (count × gram length / total text chars); ties break
+      deterministically by (count, covered chars, gram) descending.
+
+    Scale shape: line/paragraph signals are pure row-local array
+    expressions (whole-stage codegen, no shuffle). The n-gram signals
+    explode one row per (doc, n, gram) — the same explode + two-level
+    hash-aggregate shape as vocab_topk, with map-side partial counts —
+    then a per-(doc, n) struct-max and a pivot back to columns; shuffle
+    keyed on (doc, n, gram), never all-pairs.
+    """
+    did = F.col(id_col)
+    text = F.col(text_col)
+
+    def _dup(arr):
+        n = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        chars = F.aggregate(arr, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
+        chars_d = F.aggregate(F.array_distinct(arr),
+                              F.lit(0).cast("long"),
+                              lambda a, x: a + F.length(x))
+        frac = F.round((n - nd).cast("double")
+                       / F.greatest(n, F.lit(1)), 6)
+        cfrac = F.round((chars - chars_d).cast("double")
+                        / F.greatest(chars, F.lit(1)).cast("double"), 6)
+        return n, frac, cfrac
+
+    lines = F.filter(F.split(text, "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    paras = F.filter(F.split(text, "\n\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines, dl, dlc = _dup(lines)
+    n_paras, dp, dpc = _dup(paras)
+    base = docs.select(
+        did, F.length(text).alias("_chars"),
+        n_lines.cast("int").alias("n_lines"),
+        n_paras.cast("int").alias("n_paras"),
+        dl.alias("dup_line_frac"), dlc.alias("dup_line_char_frac"),
+        dp.alias("dup_para_frac"), dpc.alias("dup_para_char_frac"))
+
+    tokens = _tokens(text_col)
+    gram_frames = []
+    for n in ngram_ns:
+        grams = F.when(
+            F.size(tokens) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(tokens) - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(tokens, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+        gram_frames.append(docs.select(
+            did, F.lit(n).alias("_n"), F.explode(grams).alias("gram")))
+    exploded = gram_frames[0]
+    for gf in gram_frames[1:]:
+        exploded = exploded.unionByName(gf)
+    counts = exploded.groupBy(id_col, "_n", "gram").agg(
+        F.count("*").alias("_c"))
+    # lexicographic struct max == ORDER BY c DESC, chars DESC, gram DESC
+    top = (counts
+           .withColumn("_chars_cov", F.col("_c") * F.length("gram"))
+           .groupBy(id_col, "_n")
+           .agg(F.max(F.struct("_c", "_chars_cov", "gram")).alias("_t")))
+    pivoted = (top.groupBy(id_col)
+               .pivot("_n", list(ngram_ns))
+               .agg(F.first("_t._chars_cov")))
+    out = base.join(pivoted, id_col, "left")
+    cols = [F.col(id_col), "n_lines", "n_paras",
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac"]
+    for n in ngram_ns:
+        # least(1.0): overlapping occurrences overcount characters (the
+        # published count x len definition can exceed the text length —
+        # "x y x y x y" has three overlapping "x y x y"); clamp so the
+        # column stays a fraction
+        cols.append(F.round(F.least(
+            F.lit(1.0),
+            F.coalesce(F.col(str(n)), F.lit(0)).cast("double")
+            / F.greatest(F.col("_chars"), F.lit(1)).cast("double")), 6)
+            .alias(f"top_{n}gram_char_frac"))
+    return out.select(*cols)
+
+
 def vocab_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
                text_col: str = "text",
                lowercase: bool = True) -> DataFrame:

@@ -690,3 +690,51 @@ def test_cosine_neardup_blocked_matches_broadcast_exact(spark):
     assert len(want) >= 30
     with pytest.raises(ValueError, match="cosine_neardup_lsh"):
         cosine_neardup_pairs_blocked(emb, max_vectors=10)
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition filters on hand-computable fixtures: duplicate
+    line/paragraph fractions count repeats beyond the first occurrence;
+    top-n-gram coverage = count x gram chars / text chars, clamped to 1
+    (overlapping occurrences overcount); short/empty docs are all-zero."""
+    from defuddle_spark.ops.textstats import repetition_signals
+
+    rows = [
+        # 4 lines, "dup me" repeated -> 1/4 dup lines; line chars:
+        # 6+6+5+5=22, distinct 6+5+5=16 -> dup_line_char_frac 6/22;
+        # paras: ["dup me\ndup me\nalpha", "gamma"] distinct -> 0
+        (1, "dup me\ndup me\nalpha\n\ngamma"),
+        # "x y" 2-gram appears 3x overlapping (6 tokens) -> cov
+        # 3*3=9 / 11 chars; 4-gram "x y x y" 2x -> 14/11 clamped to 1
+        (2, "x y x y x y"),
+        (3, ""),
+        (4, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 4 and r1["n_paras"] == 2
+    assert r1["dup_line_frac"] == 0.25
+    assert r1["dup_line_char_frac"] == round(6 / 22, 6)
+    assert r1["dup_para_frac"] == 0.0
+    assert r1["dup_para_char_frac"] == 0.0
+
+    r2 = got[2]
+    assert r2["top_2gram_char_frac"] == round(9 / 11, 6)
+    assert r2["top_3gram_char_frac"] == round(10 / 11, 6)  # "x y x" 2x
+    assert r2["top_4gram_char_frac"] == 1.0  # 2*7/11 clamped
+
+    for i in (3, 4):
+        r = got[i]
+        assert r["dup_line_frac"] == 0.0
+        assert r["top_2gram_char_frac"] == 0.0
+        assert r["top_4gram_char_frac"] == 0.0
+
+    # a no-repetition doc scores ~0 everywhere (the filter's pass case)
+    clean = spark.createDataFrame(
+        [(9, "every word here is used exactly once today")],
+        ["doc_id", "text"])
+    r9 = repetition_signals(clean).collect()[0]
+    assert r9["dup_line_frac"] == 0.0 and r9["dup_para_frac"] == 0.0
+    assert 0.0 < r9["top_2gram_char_frac"] < 0.4  # one occurrence each

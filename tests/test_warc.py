@@ -673,3 +673,53 @@ def test_read_warc_spark(spark, tmp_path):
     assert "warc page body text 2" in got["https://w.example.test/2"][
         "extracted_text"]
     assert all(r["error"] is None for r in got.values())
+
+
+def test_read_warc_stream_feeds_extraction_pipeline(spark, tmp_path):
+    """End-to-end streaming glue: WARC archives landing in a directory →
+    read_warc_stream → extract_pages → parquet sink, one availableNow
+    drain. The extraction output must match the batch pipeline on the
+    same pages byte-for-byte (title/content), proving the archive
+    stream really is a drop-in pages source for the streaming kernel."""
+    from pyspark.sql import Row
+
+    from defuddle_spark.spark.pipeline import extract_pages
+    from defuddle_spark.spark.warc import read_warc_stream
+
+    def page(i):
+        return (f"<!DOCTYPE html><html><head><title>S{i}</title></head>"
+                f"<body><article><h1>S{i}</h1><p>stream body text "
+                f"number {i} with several words</p></article>"
+                f"</body></html>").encode()
+
+    inp = tmp_path / "landing"
+    inp.mkdir()
+    (inp / "a.warc.gz").write_bytes(b"".join(
+        gzip.compress(_warc_record(f"https://st.example.test/{i}",
+                                   _http_payload(page(i)),
+                                   rec_id=f"<urn:uuid:{i}>".encode()))
+        for i in range(6)))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    stream = read_warc_stream(spark, str(inp)).select("url", "html")
+    q = (extract_pages(stream, with_routing_column=False)
+         .select("url", "title", "content", "word_count", "error")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    batch_pages = spark.createDataFrame(
+        [Row(url=f"https://st.example.test/{i}", html=page(i))
+         for i in range(6)])
+    want = {r["url"]: r for r in extract_pages(
+        batch_pages, with_routing_column=False)
+        .select("url", "title", "content", "word_count", "error")
+        .collect()}
+    assert sorted(got) == sorted(want)
+    for url, w in want.items():
+        g = got[url]
+        assert (g["title"], g["content"], g["word_count"]) == \
+            (w["title"], w["content"], w["word_count"])
+        assert g["error"] is None
