@@ -869,11 +869,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes cell-for-cell with DuckDB list/window functions."""
     from defuddle_spark.ops.textstats import repetition_signals
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # coalesce BEFORE concat (Spark concat propagates NULL through the
+    # whole expression; the oracle coalesces the same way)
+    t = F.coalesce(F.col("text"), F.lit(""))
     rep = d.select(
         "doc_id",
-        F.concat(F.col("text"), F.lit("\n"), F.col("text"),
-                 F.lit("\n\n"), F.substring("text", 1, 80),
-                 F.lit("\nunique "),
+        F.concat(t, F.lit("\n"), t, F.lit("\n\n"),
+                 F.substring(t, 1, 80), F.lit("\nunique "),
                  F.col("doc_id").cast("string")).alias("text"))
     return repetition_signals(rep)
 
@@ -1822,9 +1824,13 @@ def _all_oracles() -> dict[str, str]:
             -- 80-char prefix + unique tail); same formulas as
             -- ops/textstats.repetition_signals, DuckDB list/window form
             WITH rep AS (
+              -- coalesce mirrors the operator: NULL text means all-zero
+              -- signals on both engines, never NULL-vs-0 hash drift
               SELECT doc_id,
-                     text || chr(10) || text || chr(10) || chr(10)
-                          || substr(text, 1, 80) || chr(10) || 'unique '
+                     coalesce(text, '') || chr(10) || coalesce(text, '')
+                          || chr(10) || chr(10)
+                          || substr(coalesce(text, ''), 1, 80)
+                          || chr(10) || 'unique '
                           || CAST(doc_id AS VARCHAR) AS t
               FROM documents
             ),

@@ -159,7 +159,10 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     keyed on (doc, n, gram), never all-pairs.
     """
     did = F.col(id_col)
-    text = F.col(text_col)
+    # NULL text means every signal is 0, not NULL — and the DuckDB
+    # oracle coalesces the same way, so the two engines can't diverge
+    # on a nullable text column
+    text = F.coalesce(F.col(text_col), F.lit(""))
 
     def _dup(arr):
         n = F.size(arr)
@@ -188,20 +191,27 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
         dl.alias("dup_line_frac"), dlc.alias("dup_line_char_frac"),
         dp.alias("dup_para_frac"), dpc.alias("dup_para_char_frac"))
 
-    tokens = _tokens(text_col)
-    gram_frames = []
-    for n in ngram_ns:
-        grams = F.when(
+    # One scan for every n: per-n (n, gram) struct arrays are built in a
+    # single projection and flattened before ONE explode — a per-n
+    # union would re-execute the whole upstream plan len(ngram_ns)
+    # times when docs is the output of an expensive pipeline stage.
+    tokens = F.split(F.trim(text), r"\s+")
+
+    def _gram_structs(n):
+        return F.when(
             F.size(tokens) >= n,
             F.transform(F.sequence(F.lit(0), F.size(tokens) - n),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(tokens, i + 1, n)))
-        ).otherwise(F.array().cast("array<string>"))
-        gram_frames.append(docs.select(
-            did, F.lit(n).alias("_n"), F.explode(grams).alias("gram")))
-    exploded = gram_frames[0]
-    for gf in gram_frames[1:]:
-        exploded = exploded.unionByName(gf)
+                        lambda i: F.struct(
+                            F.lit(n).alias("_n"),
+                            F.concat_ws(" ", F.slice(tokens, i + 1, n))
+                            .alias("gram")))
+        ).otherwise(F.array().cast("array<struct<_n:int,gram:string>>"))
+
+    exploded = (docs.select(
+        did, F.explode(F.flatten(F.array(
+            *[_gram_structs(n) for n in ngram_ns]))).alias("_g"))
+        .select(did, F.col("_g._n").alias("_n"),
+                F.col("_g.gram").alias("gram")))
     counts = exploded.groupBy(id_col, "_n", "gram").agg(
         F.count("*").alias("_c"))
     # lexicographic struct max == ORDER BY c DESC, chars DESC, gram DESC
@@ -219,8 +229,8 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     for n in ngram_ns:
         # least(1.0): overlapping occurrences overcount characters (the
         # published count x len definition can exceed the text length —
-        # "x y x y x y" has three overlapping "x y x y"); clamp so the
-        # column stays a fraction
+        # "x y x y x y" has two overlapping "x y x y", 14 covered chars
+        # in an 11-char text); clamp so the column stays a fraction
         cols.append(F.round(F.least(
             F.lit(1.0),
             F.coalesce(F.col(str(n)), F.lit(0)).cast("double")

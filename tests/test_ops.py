@@ -709,8 +709,9 @@ def test_repetition_signals_hand_computed(spark):
         (2, "x y x y x y"),
         (3, ""),
         (4, "one"),
+        (5, None),  # NULL text -> all-zero signals, never NULL cells
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
 
     r1 = got[1]
@@ -725,9 +726,10 @@ def test_repetition_signals_hand_computed(spark):
     assert r2["top_3gram_char_frac"] == round(10 / 11, 6)  # "x y x" 2x
     assert r2["top_4gram_char_frac"] == 1.0  # 2*7/11 clamped
 
-    for i in (3, 4):
+    for i in (3, 4, 5):
         r = got[i]
         assert r["dup_line_frac"] == 0.0
+        assert r["dup_line_char_frac"] == 0.0
         assert r["top_2gram_char_frac"] == 0.0
         assert r["top_4gram_char_frac"] == 0.0
 

@@ -687,10 +687,7 @@ def test_read_warc_stream_feeds_extraction_pipeline(spark, tmp_path):
     from defuddle_spark.spark.warc import read_warc_stream
 
     def page(i):
-        return (f"<!DOCTYPE html><html><head><title>S{i}</title></head>"
-                f"<body><article><h1>S{i}</h1><p>stream body text "
-                f"number {i} with several words</p></article>"
-                f"</body></html>").encode()
+        return _page(i, words="stream body text number")
 
     inp = tmp_path / "landing"
     inp.mkdir()
