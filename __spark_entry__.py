@@ -855,6 +855,29 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(d3, pairs)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (CCNet-style boilerplate removal) with
+    PLANTED repetition: every document gets the same cookie-banner
+    paragraph prepended and a (doc_id % 7)-group footer appended, so the
+    banner must survive only in the corpus-minimum document, each footer
+    only in its group minimum, and the body paragraphs wherever their
+    text first occurred. The oracle recomputes the keep rule — global
+    (doc_id, idx) minimum per paragraph md5 — with a DuckDB window,
+    which is fine at oracle scale; the Spark side uses the aggregate+
+    join shape that survives a 10^9-occurrence boilerplate paragraph."""
+    from defuddle_spark.ops.dedup import dedup_paragraphs
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # coalesce BEFORE concat (Spark concat propagates NULL; the oracle
+    # coalesces the same way)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    planted = d.select(
+        "doc_id",
+        F.concat(F.lit("Cookie notice: this site uses cookies.\n\n"),
+                 t, F.lit("\n\nShared footer "),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"))
+    return dedup_paragraphs(planted)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.textstats import text_quality
     return text_quality(_docs(spark, sf_dir))
@@ -1150,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
         "corpus_sample": q_corpus_sample,
@@ -1734,6 +1758,55 @@ def _all_oracles() -> dict[str, str]:
             SELECT doc_id FROM docs3
             WHERE doc_id NOT IN (
                 SELECT node FROM comp WHERE node <> component)
+        """,
+        "dedup_paragraphs": """
+            -- corpus-wide paragraph dedup: keep rule = global (doc_id,
+            -- idx) minimum per paragraph md5, reassembly in idx order.
+            -- chr(10) literals keep the SQL newline-safe; trim() strips
+            -- spaces only on BOTH engines, so hashes agree byte-for-byte
+            WITH planted AS (
+                SELECT doc_id,
+                       'Cookie notice: this site uses cookies.'
+                       || chr(10) || chr(10) || coalesce(text, '')
+                       || chr(10) || chr(10) || 'Shared footer '
+                       || CAST(doc_id % 7 AS VARCHAR) AS text
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split(text, chr(10) || chr(10)),
+                               x -> trim(x)),
+                           x -> x <> '') AS ps
+                FROM planted
+            ),
+            ex AS (
+                -- parallel unnest zips value and 0-based index in lockstep
+                SELECT doc_id,
+                       unnest(range(len(ps))) AS idx,
+                       unnest(ps) AS para
+                FROM split
+            ),
+            kept AS (
+                SELECT doc_id, idx, para FROM (
+                    SELECT doc_id, idx, para,
+                           row_number() OVER (PARTITION BY md5(para)
+                                              ORDER BY doc_id, idx) AS rn
+                    FROM ex)
+                WHERE rn = 1
+            )
+            SELECT s.doc_id,
+                   coalesce(k.text, '') AS text,
+                   CAST(len(s.ps) AS INTEGER) AS n_paras,
+                   CAST(coalesce(k.cnt, 0) AS INTEGER) AS n_paras_kept
+            FROM split s
+            LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10)
+                                  ORDER BY idx) AS text,
+                       count(*) AS cnt
+                FROM kept GROUP BY doc_id) k USING (doc_id)
         """,
         "embedding_centroids": """
             -- parallel unnest advances value and index in lockstep;

@@ -715,6 +715,67 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
             .join(losers, id_col, "left_anti"))
 
 
+def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """CORPUS-WIDE paragraph dedup (the CCNet / "Deduplicating Training
+    Data" shape): every later occurrence of a repeated paragraph is
+    dropped and documents are reassembled from their surviving
+    paragraphs — the op that strips boilerplate paragraphs (cookie
+    banners, license blurbs, nav text) that exact/near DOCUMENT dedup
+    cannot touch because the surrounding text differs.
+
+    Returns (id, text, n_paras, n_paras_kept): ``text`` is the
+    paragraphs that survived, joined with blank lines (trimmed;
+    whitespace-only paragraphs dropped before dedup); a document whose
+    every paragraph was seen earlier comes back with empty text.
+
+    Keep rule, fully deterministic: a paragraph occurrence survives iff
+    its (id, paragraph-index) is the corpus-wide MINIMUM for that
+    paragraph's md5 — "first document wins, first position within it".
+
+    Scale shape: explode one row per paragraph, shuffle keyed on the
+    16-byte md5. First-occurrence selection is a hash AGGREGATE
+    (min(struct(id, idx)) with map-side partial aggregation) joined
+    back on the hash — never a window over the hash partition, which
+    would serialize a boilerplate paragraph repeated 10^9 times into
+    one task. Reassembly groups by document (sort_array over the doc's
+    own surviving paragraphs — bounded by document size, not corpus).
+    """
+    did = F.col(id_col)
+    # explicit single-arg lambda: F.trim itself has an optional second
+    # parameter, so transform() would pass the element INDEX as the
+    # trim-character set and trim nothing
+    paras_arr = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                            "\n\n"), lambda p: F.trim(p)),
+        lambda p: p != "")
+    base = docs.select(did, F.size(paras_arr).cast("int").alias("n_paras"),
+                       F.posexplode_outer(paras_arr).alias("idx", "para"))
+    paras = (base.filter(F.col("para").isNotNull())
+             .withColumn("_h", F.md5(F.encode(F.col("para"), "UTF-8"))))
+    firsts = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first"))
+    kept = (paras.join(firsts, "_h")
+            .filter((F.col(f"_first.{id_col}") == did)
+                    & (F.col("_first.idx") == F.col("idx"))))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s.para),
+            "\n\n").alias("text"),
+        F.count("*").cast("int").alias("n_paras_kept"))
+    # every input doc gets an output row, even if all paragraphs dropped:
+    # posexplode_outer keeps a (idx NULL) row for paragraph-less docs, so
+    # grouping `base` itself covers the full corpus — no join back to docs
+    shells = base.groupBy(id_col).agg(F.max("n_paras").alias("n_paras"))
+    return (shells.join(rebuilt, id_col, "left")
+            .select(did, F.coalesce("text", F.lit("")).alias("text"),
+                    "n_paras",
+                    F.coalesce("n_paras_kept", F.lit(0)).cast("int")
+                    .alias("n_paras_kept")))
+
+
 def minhash_signature_col(text_col: str = "text", num_perm: int = 64,
                           shingle_k: int = 3) -> F.Column:
     """ROW-LOCAL minhash signature expression — bit-identical to

@@ -27,6 +27,57 @@ def test_dedup_exact(toy_docs):
     assert out[3] == 1 and out[4] == 1
 
 
+def test_dedup_paragraphs(spark):
+    """Corpus-wide paragraph dedup: first (doc_id, idx) occurrence of
+    each md5 survives; docs reassemble from survivors in original order;
+    within-doc repeats collapse to the first position; NULL/empty/
+    whitespace-only texts come back as shells with 0 counts."""
+    from defuddle_spark.ops.dedup import dedup_paragraphs
+    rows = [
+        (1, "Cookie banner.\n\nReal content one."),
+        (2, "Cookie banner.\n\nReal content two.\n\nReal content two."),
+        (3, "  \n\nCookie banner.\n\n"),   # only a dup -> empty shell
+        (4, None),
+        (5, "   \n\n \n\n"),               # whitespace-only paragraphs
+        (6, "Trailing spaces survive trim.   \n\nTrailing spaces survive trim."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert len(out) == 6                    # every input doc has a row
+    assert out[1]["text"] == "Cookie banner.\n\nReal content one."
+    assert (out[1]["n_paras"], out[1]["n_paras_kept"]) == (2, 2)
+    # banner dropped (doc 1 owns it); within-doc repeat keeps idx-min only
+    assert out[2]["text"] == "Real content two."
+    assert (out[2]["n_paras"], out[2]["n_paras_kept"]) == (3, 1)
+    assert out[3]["text"] == "" and out[3]["n_paras"] == 1
+    assert out[3]["n_paras_kept"] == 0
+    for d in (4, 5):
+        assert (out[d]["text"], out[d]["n_paras"], out[d]["n_paras_kept"]) \
+            == ("", 0, 0)
+    # trim makes the two doc-6 paragraphs identical -> one survives
+    assert out[6]["text"] == "Trailing spaces survive trim."
+    assert (out[6]["n_paras"], out[6]["n_paras_kept"]) == (2, 1)
+
+
+def test_dedup_paragraphs_first_doc_wins_across_corpus(spark):
+    """The keep rule is the corpus-wide (doc_id, idx) minimum, not
+    per-partition: a paragraph planted in many docs survives exactly
+    once, in the lowest doc_id, at its earliest index there."""
+    from defuddle_spark.ops.dedup import dedup_paragraphs
+    shared = "Shared license blurb."
+    rows = [(i, f"unique {i}\n\n{shared}\n\n{shared}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+              .repartition(8)
+    out = dedup_paragraphs(df)
+    holders = [r["doc_id"] for r in out.collect()
+               if shared in r["text"]]
+    assert holders == [0]
+    row0 = out.filter(F.col("doc_id") == 0).head()
+    assert row0["text"] == f"unique 0\n\n{shared}"   # idx order preserved
+    assert (row0["n_paras"], row0["n_paras_kept"]) == (3, 2)
+    assert out.filter(F.col("doc_id") == 7).head()["text"] == "unique 7"
+
+
 def test_ngram_jaccard_pairs(toy_docs):
     from defuddle_spark.ops.dedup import ngram_jaccard_pairs
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
