@@ -903,6 +903,17 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(rep)
 
 
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring: per-document cross-entropy
+    under the corpus's own unigram LM. The natural token distribution of
+    the documents table is nontrivial on its own (no planting needed);
+    the oracle recomputes the LM and the scores with the SAME per-token
+    round-to-9-decimals fixed-point contract, so every cell matches
+    bit-for-bit despite the logarithms."""
+    from defuddle_spark.ops.textstats import unigram_cross_entropy
+    return unigram_cross_entropy(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from defuddle_spark.ops.textstats import fingerprint
     return fingerprint(_docs(spark, sf_dir))
@@ -1180,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "text_quality": q_text_quality,
         "repetition_stats": q_repetition_stats,
+        "lm_cross_entropy": q_lm_cross_entropy,
         "token_stats": q_token_stats,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
@@ -1807,6 +1819,43 @@ def _all_oracles() -> dict[str, str]:
                                   ORDER BY idx) AS text,
                        count(*) AS cnt
                 FROM kept GROUP BY doc_id) k USING (doc_id)
+        """,
+        "lm_cross_entropy": f"""
+            -- corpus unigram LM, then per-doc mean negative logprob.
+            -- Per-token logprobs rounded to 9 decimals and accumulated
+            -- as DECIMAL fixed-point on BOTH engines (exact, order-free);
+            -- tf cast to DECIMAL(10,0) keeps the product inside DuckDB's
+            -- 38-digit exact range (wider would silently become DOUBLE)
+            WITH tok AS (
+                SELECT doc_id, lower(unnest({_TOKENS})) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY doc_id, token
+            ),
+            cf AS (SELECT token, sum(tf) AS cf FROM tf GROUP BY token),
+            tot AS (SELECT sum(cf) AS n FROM cf),
+            lm AS (
+                SELECT token,
+                       CAST(round(ln(CAST(cf AS DOUBLE)
+                                     / CAST(n AS DOUBLE)), 9)
+                            AS DECIMAL(20,9)) AS lp
+                FROM cf, tot
+            ),
+            doc AS (
+                SELECT tf.doc_id,
+                       sum(tf) AS n_tokens,
+                       round(-CAST(sum(CAST(tf AS DECIMAL(10,0)) * lp)
+                                   AS DOUBLE)
+                             / CAST(sum(tf) AS DOUBLE), 6) AS ce
+                FROM tf JOIN lm USING (token)
+                GROUP BY tf.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   k.ce AS cross_entropy
+            FROM documents d LEFT JOIN doc k USING (doc_id)
         """,
         "embedding_centroids": """
             -- parallel unnest advances value and index in lockstep;

@@ -268,3 +268,61 @@ def vocab_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"),
         "token", "n_occurrences", "n_docs")
+
+
+def unigram_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          lowercase: bool = True) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the CCNet-style statistical quality score (perplexity bucketing):
+    documents full of rare gibberish score high, documents of common
+    fluent text score low; downstream filters threshold or stratify on
+    it. ``perplexity = exp(cross_entropy)``.
+
+    Returns (id, n_tokens, cross_entropy): ``n_tokens`` counts the
+    doc's (lowercased) whitespace tokens — the same tokenization as
+    vocab_topk — and ``cross_entropy`` is
+    ``-(1/n) * sum_t log p(t)`` with ``p(t) = corpus_count(t) / N``,
+    NULL for token-less documents (every doc still gets a row).
+
+    Reproducibility: per-token log-probabilities are rounded to 9
+    decimals and accumulated as DECIMAL(20,9) fixed-point, so the score
+    is bit-identical across partition layouts, shuffle orders, and
+    engines — a float sum over a reshuffled corpus is not (the
+    embedding_centroids lesson). The final mean is one double division
+    rounded to 6 decimals. Per-doc term frequencies must fit
+    DECIMAL(10,0) (one token repeated < 1e10 times within a single
+    document).
+
+    Scale shape: two-level map-side-combined aggregates throughout.
+    Raw tokens collapse to distinct (doc, token) term frequencies
+    BEFORE any join, so the LM join moves one row per distinct pair,
+    not one per token occurrence; the 1-row corpus total is an
+    explicit broadcast. Stopword skew on the token-keyed join is
+    bounded by the tf side being distinct-per-doc (≤ n_docs rows per
+    token) and left to AQE's skew handling.
+    """
+    did = F.col(id_col)
+    toks = docs.select(did, F.explode(_tokens(text_col)).alias("token"))
+    if lowercase:
+        toks = toks.select(did, F.lower(F.col("token")).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("token").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("n_total"))
+    lm = (cf.join(F.broadcast(total))
+          .select("token",
+                  F.round(F.log(F.col("cf").cast("double")
+                                / F.col("n_total").cast("double")), 9)
+                  .cast("decimal(20,9)").alias("lp")))
+    scored = (tf.join(lm, "token")
+              .groupBy(id_col)
+              .agg(F.sum("tf").alias("n_tokens"),
+                   F.sum(F.col("tf").cast("decimal(10,0)")
+                         * F.col("lp")).alias("lp_sum")))
+    return (docs.select(did).join(scored, id_col, "left")
+            .select(did,
+                    F.coalesce("n_tokens", F.lit(0)).cast("bigint")
+                    .alias("n_tokens"),
+                    F.round(-F.col("lp_sum").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("cross_entropy")))

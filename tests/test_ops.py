@@ -147,6 +147,40 @@ def test_lsh_topk_recalls_nearest(spark):
     assert set(out[:5]) & {1, 2, 3, 4}  # close vectors land in the bucket
 
 
+def test_unigram_cross_entropy(spark):
+    """Hand-checked corpus LM scores; NULL/empty-text shells; the
+    rare-token doc scores strictly higher than the common-token doc."""
+    import math
+
+    from defuddle_spark.ops.textstats import unigram_cross_entropy
+    rows = [(1, "the the the the common words"),
+            (2, "zyzzyva qwerty"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(df).collect()}
+    n_total = 8.0
+    lp = lambda c: round(math.log(c / n_total), 9)
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["cross_entropy"] == round(-(4 * lp(4) + 2 * lp(1)) / 6, 6)
+    assert out[2]["cross_entropy"] == round(-lp(1), 6)
+    assert out[2]["cross_entropy"] > out[1]["cross_entropy"]
+    assert (out[3]["n_tokens"], out[3]["cross_entropy"]) == (0, None)
+
+
+def test_unigram_cross_entropy_layout_independent(spark):
+    """The decimal fixed-point accumulation makes the score bit-identical
+    across partition layouts (the property float sums lack)."""
+    from defuddle_spark.ops.textstats import unigram_cross_entropy
+    rows = [(i, f"tok{i % 11} shared words here tok{i % 7} " * (1 + i % 5))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["cross_entropy"]
+         for r in unigram_cross_entropy(df.coalesce(1)).collect()}
+    b = {r["doc_id"]: r["cross_entropy"]
+         for r in unigram_cross_entropy(df.repartition(16)).collect()}
+    assert a == b
+
+
 def test_text_quality_and_fingerprint(spark, toy_docs):
     from defuddle_spark.ops.textstats import fingerprint, text_quality
     q = {r["doc_id"]: r for r in text_quality(toy_docs).collect()}
