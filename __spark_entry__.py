@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 SF_001 = "/root/testdata/sf0.001"
 
 # shared SQL fragments for the oracles
-_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+# explicit charclass, not \s: RE2's \s lacks \x0B while Java's has it —
+# mirrors ops/textstats._tokens so both engines tokenize every byte alike
+# (real control characters inside the SQL literal; RE2 classes take them)
+_TOKENS = "regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')"
 _WC = f"CAST(len({_TOKENS}) AS INTEGER)"
 _URL = "'https://docs.example.test/' || lang || '/' || source || '/' || doc_id || '-r0'"
 _TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
@@ -1175,9 +1178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_routed": q_extract_routed,
         "extract_elements": q_extract_elements,
         # round 6: WARC archive ingestion round-trip (the corpus-scale
-        # source); 51st entry — the driver's 50-query window drops the
-        # LAST rows-only entry instead (weak check by design, its
-        # planted sibling stays oracle-backed; see
+        # source). Registry budget since round 7: the first 50 entries
+        # are ALL oracle-backed (exactly filling the driver's 50-slot
+        # window); the four rows-only entries trail past it (weak checks
+        # by design — each planted sibling stays oracle-backed; see
         # test_registry_budget_fits_driver_window).
         "warc_extract": q_warc_extract,
         "dedup_exact": q_dedup_exact,
@@ -1827,12 +1831,14 @@ def _all_oracles() -> dict[str, str]:
             -- tf cast to DECIMAL(10,0) keeps the product inside DuckDB's
             -- 38-digit exact range (wider would silently become DOUBLE)
             WITH tok AS (
+                -- empty pseudo-token from empty/ws-only text excluded:
+                -- in the LM it would inflate N and shift every score
                 SELECT doc_id, lower(unnest({_TOKENS})) AS token
                 FROM documents
             ),
             tf AS (
                 SELECT doc_id, token, count(*) AS tf
-                FROM tok GROUP BY doc_id, token
+                FROM tok WHERE token <> '' GROUP BY doc_id, token
             ),
             cf AS (SELECT token, sum(tf) AS cf FROM tf GROUP BY token),
             tot AS (SELECT sum(cf) AS n FROM cf),

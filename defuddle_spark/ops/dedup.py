@@ -740,6 +740,12 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
     would serialize a boilerplate paragraph repeated 10^9 times into
     one task. Reassembly groups by document (sort_array over the doc's
     own surviving paragraphs — bounded by document size, not corpus).
+
+    The declarative plan reads the input three times (the shells
+    aggregate, the first-occurrence aggregate, and the keep join each
+    root a lineage) — at TB scale persist/checkpoint ``docs`` upstream
+    so the three scans hit storage once, same convention as the other
+    multi-consumer dedup ops.
     """
     did = F.col(id_col)
     # explicit single-arg lambda: F.trim itself has an optional second
@@ -749,8 +755,13 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
         F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")),
                             "\n\n"), lambda p: F.trim(p)),
         lambda p: p != "")
-    base = docs.select(did, F.size(paras_arr).cast("int").alias("n_paras"),
-                       F.posexplode_outer(paras_arr).alias("idx", "para"))
+    # materialize the split array once per row: size() and posexplode
+    # both consume the alias, and CollapseProject keeps a twice-used
+    # non-cheap alias as a real column instead of re-inlining the
+    # regex split + per-element trim into each consumer
+    base = (docs.select(did, paras_arr.alias("_ps"))
+            .select(did, F.size("_ps").cast("int").alias("n_paras"),
+                    F.posexplode_outer("_ps").alias("idx", "para")))
     paras = (base.filter(F.col("para").isNotNull())
              .withColumn("_h", F.md5(F.encode(F.col("para"), "UTF-8"))))
     firsts = paras.groupBy("_h").agg(

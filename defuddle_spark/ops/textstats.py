@@ -24,7 +24,10 @@ LANG_MARKERS = {
 
 
 def _tokens(text_col: str) -> F.Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    # explicit charclass instead of \s: Java regex \s includes \x0B,
+    # RE2 (the DuckDB oracles) does not — spelling out ASCII whitespace
+    # keeps Spark and oracle tokenization identical on every byte
+    return F.split(F.trim(F.col(text_col)), "[ \t\n\x0B\f\r]+")
 
 
 def token_count_col(text_col: str) -> F.Column:
@@ -34,8 +37,11 @@ def token_count_col(text_col: str) -> F.Column:
 # GPT-2-style pre-tokenizer shape (contractions, letter runs, digit runs,
 # punctuation runs, each optionally space-prefixed) — kept to syntax both
 # Java regex (Spark) and RE2 (DuckDB oracle) interpret identically:
-# no lookarounds, no unicode property classes.
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# no lookarounds, no unicode property classes, and no \s (Java's
+# includes \x0B, RE2's does not — ASCII whitespace spelled out instead,
+# as literal control characters, which both class syntaxes accept).
+BPE_TOKEN_RE = ("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                "| ?[^A-Za-z0-9 \t\n\x0b\f\r]+")
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -281,7 +287,9 @@ def unigram_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id, n_tokens, cross_entropy): ``n_tokens`` counts the
     doc's (lowercased) whitespace tokens — the same tokenization as
-    vocab_topk — and ``cross_entropy`` is
+    vocab_topk, minus the empty pseudo-token that splitting an
+    empty/whitespace-only text yields (left in the LM it would inflate
+    N and shift EVERY document's score) — and ``cross_entropy`` is
     ``-(1/n) * sum_t log p(t)`` with ``p(t) = corpus_count(t) / N``,
     NULL for token-less documents (every doc still gets a row).
 
@@ -303,7 +311,8 @@ def unigram_cross_entropy(docs: DataFrame, id_col: str = "doc_id",
     token) and left to AQE's skew handling.
     """
     did = F.col(id_col)
-    toks = docs.select(did, F.explode(_tokens(text_col)).alias("token"))
+    toks = (docs.select(did, F.explode(_tokens(text_col)).alias("token"))
+            .filter(F.col("token") != ""))
     if lowercase:
         toks = toks.select(did, F.lower(F.col("token")).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))

@@ -155,16 +155,38 @@ def test_unigram_cross_entropy(spark):
     from defuddle_spark.ops.textstats import unigram_cross_entropy
     rows = [(1, "the the the the common words"),
             (2, "zyzzyva qwerty"),
-            (3, None)]
+            (3, None),
+            (4, ""),          # empty pseudo-token must NOT enter the LM
+            (5, " \t ")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in unigram_cross_entropy(df).collect()}
-    n_total = 8.0
+    n_total = 8.0                       # docs 3-5 contribute nothing
     lp = lambda c: round(math.log(c / n_total), 9)
     assert out[1]["n_tokens"] == 6
     assert out[1]["cross_entropy"] == round(-(4 * lp(4) + 2 * lp(1)) / 6, 6)
     assert out[2]["cross_entropy"] == round(-lp(1), 6)
     assert out[2]["cross_entropy"] > out[1]["cross_entropy"]
-    assert (out[3]["n_tokens"], out[3]["cross_entropy"]) == (0, None)
+    for d in (3, 4, 5):
+        assert (out[d]["n_tokens"], out[d]["cross_entropy"]) == (0, None)
+
+
+def test_whitespace_tokenization_engine_parity(spark):
+    """Spark _tokens and the DuckDB _TOKENS oracle macro must split on
+    the SAME byte set. Java's \\s includes \\x0B, RE2's does not — the
+    explicit charclass pins them together; a vertical tab (plus every
+    other ASCII whitespace) must tokenize identically on both engines."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from defuddle_spark.ops.textstats import _tokens
+
+    nasty = "a\x0bb\tc d\ne\ff\rg  h\x0b\x0b i"
+    spark_toks = (spark.createDataFrame([(nasty,)], "text string")
+                  .select(_tokens("text").alias("t")).head()["t"])
+    duck_toks = duckdb.sql(
+        f"SELECT {entrymod._TOKENS} AS t FROM (SELECT ? AS text)",
+        params=[nasty]).fetchone()[0]
+    assert spark_toks == duck_toks == list("abcdefgh") + ["i"]
 
 
 def test_unigram_cross_entropy_layout_independent(spark):
