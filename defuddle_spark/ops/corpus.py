@@ -81,3 +81,52 @@ def stratified_hash_sample(docs: DataFrame, rates: dict,
     else:
         threshold = default
     return docs.filter(bucket < threshold)
+
+
+def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words_per_line: int = 3,
+                   min_sentences: int = 5) -> DataFrame:
+    """The C4 line/page cleaning rules (Raffel et al. 2020, §2.2 —
+    public): keep only lines that end in terminal punctuation
+    (``. ! ? "`` or a closing curly quote) and have at least
+    ``min_words_per_line`` words; drop lines containing the word
+    "javascript" (case-insensitive); drop PAGES that mention
+    "lorem ipsum", contain a ``{`` (code), or whose kept text has fewer
+    than ``min_sentences`` sentences (terminal-punctuation count).
+    C4's obscenity blocklist is deliberately not bundled; compose a
+    caller-provided filter upstream if needed.
+
+    Returns every input doc as (id, text, n_lines, n_lines_kept,
+    n_sentences, page_kept): ``text`` is the kept lines joined with
+    newlines; callers filter on ``page_kept`` (returning the flag
+    instead of dropping rows keeps the op auditable — loss accounting
+    is one aggregation away, same convention as the WARC reader).
+
+    Scale shape: entirely row-local array higher-order functions — one
+    codegen projection, zero shuffle, trivially partition-parallel.
+    """
+    did = F.col(id_col)
+    lines = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda l: F.trim(l))
+    # a kept line: terminal punctuation, >= N words, no "javascript"
+    kept_arr = F.filter(lines, lambda l: (
+        l.rlike('[.!?"”]$')
+        & (F.size(F.split(l, "[ \t\x0b\f\r]+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript")))
+    joined = F.array_join(kept_arr, "\n")
+    n_sent = F.regexp_count(joined, F.lit('[.!?]'))
+    lower_all = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    page_ok = (~lower_all.contains("lorem ipsum")
+               & ~lower_all.contains("{")
+               & (n_sent >= min_sentences))
+    # filter(trim) on the raw array counts non-blank source lines
+    n_lines = F.size(F.filter(lines, lambda l: l != ""))
+    return docs.select(
+        did,
+        joined.alias("text"),
+        n_lines.cast("int").alias("n_lines"),
+        F.size(kept_arr).cast("int").alias("n_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        page_ok.alias("page_kept"))

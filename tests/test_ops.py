@@ -147,6 +147,39 @@ def test_lsh_topk_recalls_nearest(spark):
     assert set(out[:5]) & {1, 2, 3, 4}  # close vectors land in the bucket
 
 
+def test_c4_line_filter(spark):
+    """C4 §2.2 cleaning rules: terminal-punctuation lines with >= 3
+    words survive, javascript lines drop, pages with '{' / 'lorem
+    ipsum' / < 5 sentences drop; every input doc keeps an audit row."""
+    from defuddle_spark.ops.corpus import c4_line_filter
+    good = "\n".join(
+        f"This is a perfectly fine sentence number {i}." for i in range(6))
+    rows = [
+        (1, good),
+        (2, good + "\nEnable JavaScript to continue."),
+        (3, good + "\nif (x) { y(); }"),
+        (4, "Too short.\nNo terminal punct here\nok."),
+        (5, "Lorem Ipsum dolor sit amet.\n" + good),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert len(out) == 6
+    assert out[1]["page_kept"] and out[1]["n_lines_kept"] == 6
+    assert out[1]["text"] == good
+    # the javascript line drops but the page survives
+    assert out[2]["page_kept"] and (out[2]["n_lines"], out[2]["n_lines_kept"]) == (7, 6)
+    assert "JavaScript" not in out[2]["text"]
+    # '{' is a page-level kill even though the kept lines look fine
+    assert not out[3]["page_kept"] and out[3]["n_lines_kept"] == 6
+    # short lines and missing terminal punctuation all filtered
+    assert (out[4]["n_lines"], out[4]["n_lines_kept"], out[4]["page_kept"]) \
+        == (3, 0, False)
+    assert not out[5]["page_kept"] and out[5]["n_lines_kept"] == 7
+    assert (out[6]["n_lines"], out[6]["n_lines_kept"], out[6]["page_kept"]) \
+        == (0, 0, False)
+
+
 def test_unigram_cross_entropy(spark):
     """Hand-checked corpus LM scores; NULL/empty-text shells; the
     rare-token doc scores strictly higher than the common-token doc."""
