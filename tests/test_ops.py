@@ -880,3 +880,51 @@ def test_repetition_signals_hand_computed(spark):
     r9 = repetition_signals(clean).collect()[0]
     assert r9["dup_line_frac"] == 0.0 and r9["dup_para_frac"] == 0.0
     assert 0.0 < r9["top_2gram_char_frac"] < 0.4  # one occurrence each
+
+
+def test_decontaminate(spark):
+    """Eval-set n-gram overlap: lowercase whitespace n-grams, distinct
+    within doc, any collision flags the doc; short/NULL docs keep an
+    audit row with 0 n-grams."""
+    from defuddle_spark.ops.decontam import decontaminate
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["bench_id", "text"])
+    rows = [
+        (1, "zero one Alpha Beta GAMMA delta two three"),  # 2 hits, cased
+        (2, "totally clean document with nothing shared at all"),
+        (3, "tiny doc"),                                   # < n tokens
+        (4, None),
+        (5, "alpha beta gamma alpha beta gamma"),          # in-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert len(out) == 5
+    assert (out[1]["n_ngrams"], out[1]["n_hit"]) == (6, 2)
+    assert out[1]["contaminated"]
+    assert out[1]["contamination_frac"] == round(2 / 6, 6)
+    assert (out[2]["n_ngrams"], out[2]["n_hit"]) == (6, 0)
+    assert not out[2]["contaminated"]
+    for d in (3, 4):
+        assert (out[d]["n_ngrams"], out[d]["n_hit"]) == (0, 0)
+        assert out[d]["contamination_frac"] == 0.0
+        assert not out[d]["contaminated"]
+    # grams are distinct per doc: 4 positions but 3 distinct, 1 hit
+    assert (out[5]["n_ngrams"], out[5]["n_hit"]) == (3, 1)
+
+
+def test_contamination_pairs(spark):
+    """The audit trail: distinct (doc, bench) collision pairs."""
+    from defuddle_spark.ops.decontam import contamination_pairs
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),
+         (20, "unrelated benchmark question tokens here")],
+        ["bench_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "x alpha beta gamma y alpha beta gamma z"),  # repeats -> 1 pair
+         (2, "unrelated benchmark question tokens here and more"),
+         (3, "nothing in common whatsoever with either"),
+         (4, "alpha beta gamma plus unrelated benchmark question also")],
+        ["doc_id", "text"])
+    got = {(r["doc_id"], r["bench_id"])
+           for r in contamination_pairs(docs, bench, n=3).collect()}
+    assert got == {(1, 10), (2, 20), (4, 10), (4, 20)}
