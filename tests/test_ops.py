@@ -928,3 +928,47 @@ def test_contamination_pairs(spark):
     got = {(r["doc_id"], r["bench_id"])
            for r in contamination_pairs(docs, bench, n=3).collect()}
     assert got == {(1, 10), (2, 20), (4, 10), (4, 20)}
+
+
+def test_pii_signals(spark):
+    """Regex PII detection: emails, octet-exact IPv4, US-shaped phones;
+    digit-bounding keeps version strings and long digit runs out."""
+    from defuddle_spark.ops.pii import pii_signals
+    rows = [
+        (1, "mail me at jo.doe+spam@example.co.uk or admin@host.org now"),
+        (2, "server at 192.168.1.100 and 8.8.8.8 responded"),
+        (3, "call (555) 123-4567 or 555.987.6543 today"),
+        (4, "version 1.2.3.4000 and build 12.3.4.5.6 and id 5551234567"),
+        (5, "clean text with no personal data at all"),
+        (6, None),
+        (7, "(555)123-4567 reaches j@x.io at 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 2, 0)
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (0, 0, 2)
+    # 4000 is not an octet, 5-part dotted runs are digit-bounded away,
+    # bare 10-digit runs need a separator before the last 4
+    assert (out[4]["n_ipv4"], out[4]["n_phones"], out[4]["has_pii"]) == (0, 0, False)
+    assert not out[5]["has_pii"]
+    assert (out[6]["n_emails"], out[6]["has_pii"]) == (0, False)
+    assert (out[7]["n_emails"], out[7]["n_ipv4"], out[7]["n_phones"]) == (1, 1, 1)
+
+
+def test_redact_pii(spark):
+    """Masks replace spans in place; counts match; NULL stays NULL."""
+    from defuddle_spark.ops.pii import redact_pii
+    rows = [
+        (1, "write jo@x.org from 10.0.0.1 or call 555-123-4567 ok"),
+        (2, "nothing to hide here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["text"] == ("write |||EMAIL_ADDRESS||| from "
+                              "|||IP_ADDRESS||| or call "
+                              "|||PHONE_NUMBER||| ok")
+    assert out[1]["n_redacted"] == 3
+    assert out[2]["text"] == "nothing to hide here" and out[2]["n_redacted"] == 0
+    assert out[3]["text"] is None and out[3]["n_redacted"] == 0
