@@ -1,0 +1,91 @@
+"""URL canonicalization and URL-level dedup (the crawl-frontier /
+re-crawl collapse every web corpus runs before content dedup: the same
+page arrives as http/https, with/without www, with tracking params, in
+any query-param order, with or without a fragment).
+
+Canonical form: lowercase scheme and host, optional www. strip, default
+ports dropped (http:80 / https:443), userinfo dropped, trailing path
+slashes trimmed, fragment dropped, tracking params removed, surviving
+query params sorted. Unparseable URLs canonicalize to their trimmed
+original (identity fallback) so no row is lost.
+
+Scale shape: canonicalization is one codegen projection built from
+try_parse_url + array higher-order functions — zero shuffle;
+dedup_by_url is the dedup_exact shape (one groupBy on the canonical
+string with map-side partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Public cross-site tracking params (the adblock/ClearURLs core set);
+# compared against the LOWERCASED key, exact match only.
+TRACKING_PARAMS = [
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "utm_id", "gclid", "gbraid", "wbraid", "fbclid", "msclkid", "mc_cid",
+    "mc_eid", "igshid", "yclid", "ref_src", "ref_url", "_ga", "_gl",
+    "spm", "mkt_tok",
+]
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def canonical_url_col(url_col: str = "url", strip_www: bool = True,
+                      tracking_params: list | None = None) -> F.Column:
+    """Column expression for the canonical form of ``url_col``."""
+    tracking = [p.lower() for p in (tracking_params if tracking_params
+                                    is not None else TRACKING_PARAMS)]
+    url = F.col(url_col)
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    auth = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+    default_port = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _DEFAULT_PORTS.items()
+                       for x in kv]).getItem(proto), F.lit(""))
+    port_part = F.when((port == "") | (port == default_port), F.lit("")) \
+                 .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")),
+        "/+$", "")
+    kept_params = F.array_sort(F.filter(
+        F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")),
+                "&"),
+        lambda p: (p != "") & ~F.lower(F.substring_index(p, "=", 1))
+        .isin(tracking)))
+    query = F.array_join(kept_params, "&")
+    query_part = F.when(query == "", F.lit("")) \
+                  .otherwise(F.concat(F.lit("?"), query))
+    rebuilt = F.concat(proto, F.lit("://"), host, port_part, path,
+                       query_part)
+    return F.when(proto.isNull() | host.isNull() | (host == ""),
+                  F.trim(url)).otherwise(rebuilt)
+
+
+def canonicalize_urls(docs: DataFrame, url_col: str = "url",
+                      strip_www: bool = True,
+                      tracking_params: list | None = None) -> DataFrame:
+    """Append ``canonical_url`` to ``docs``."""
+    return docs.withColumn(
+        "canonical_url",
+        canonical_url_col(url_col, strip_www, tracking_params))
+
+
+def dedup_by_url(docs: DataFrame, id_col: str = "doc_id",
+                 url_col: str = "url", strip_www: bool = True,
+                 tracking_params: list | None = None) -> DataFrame:
+    """URL-level duplicates: keeps the lowest id per canonical URL.
+
+    Returns (doc_id, canonical_url, dup_count) for surviving
+    representatives — the dedup_exact contract keyed on the canonical
+    URL instead of the content hash.
+    """
+    return (docs
+            .groupBy(canonical_url_col(url_col, strip_www, tracking_params)
+                     .alias("canonical_url"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").cast("int").alias("dup_count"))
+            .select(id_col, "canonical_url", "dup_count"))

@@ -972,3 +972,46 @@ def test_redact_pii(spark):
     assert out[1]["n_redacted"] == 3
     assert out[2]["text"] == "nothing to hide here" and out[2]["n_redacted"] == 0
     assert out[3]["text"] is None and out[3]["n_redacted"] == 0
+
+
+def test_canonical_url(spark):
+    """Scheme/host lowering, www strip, default-port drop, trailing
+    slash trim, fragment drop, tracking-param removal, param sort;
+    junk falls back to its trimmed original."""
+    from defuddle_spark.ops.urls import canonicalize_urls
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com:8443/p?"),
+        (3, "https://example.com"),
+        (4, "  not a url at all "),
+        (5, "https://user:pw@example.com:443/x/"),
+        (6, "https://example.com/p?a=1&a=2&&flag&FBCLID=z"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+    assert out[1] == "http://example.com/a/b?a=1&b=2"
+    assert out[2] == "https://example.com:8443/p"
+    assert out[3] == "https://example.com"
+    assert out[4] == "not a url at all"
+    assert out[5] == "https://example.com/x"       # userinfo + :443 dropped
+    assert out[6] == "https://example.com/p?a=1&a=2&flag"
+    assert out[7] is None
+
+
+def test_dedup_by_url(spark):
+    """http/https-www/tracking variants of one page collapse to the
+    lowest doc_id."""
+    from defuddle_spark.ops.urls import dedup_by_url
+    rows = [
+        (1, "https://example.com/post/42"),
+        (2, "https://www.example.com/post/42/"),
+        (3, "https://example.com/post/42?utm_campaign=news#top"),
+        (4, "https://example.com/post/43"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canonical_url"]: (r["doc_id"], r["dup_count"])
+           for r in dedup_by_url(df).collect()}
+    assert out["https://example.com/post/42"] == (1, 3)
+    assert out["https://example.com/post/43"] == (4, 1)
