@@ -823,3 +823,89 @@ def band_hash_col(sig_col: str = "sig", num_perm: int = 64,
                    for r in range(rows_per_band)]))
         for b in range(bands)
     ])
+
+
+def dedup_substrings(docs: DataFrame, n: int = 50,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """CORPUS-WIDE exact substring dedup (the Lee et al. 2021
+    "Deduplicating Training Data" ExactSubstr shape, re-expressed over
+    token windows): any ``n``-token window whose text appears anywhere
+    else in the corpus survives only at its corpus-wide first
+    occurrence; every other occurrence's tokens are excised. A span of
+    L >= n duplicated tokens is covered by its L-n+1 duplicated windows,
+    so whole repeated passages disappear from later documents even when
+    the surrounding text differs (the case paragraph dedup misses when
+    boilerplate is inlined mid-paragraph).
+
+    Keep rule, fully deterministic: an occurrence survives iff its
+    (id, token-position) is the corpus-wide MINIMUM struct for that
+    window's 64-bit hash — first document wins, first position within
+    it. Within-document repeats collapse the same way.
+
+    Returns (id, text, n_tokens, n_tokens_removed) for EVERY input doc:
+    untouched documents (the overwhelming majority) return their
+    ORIGINAL text byte-for-byte; documents with excised spans return
+    the surviving tokens space-joined (token-level surgery cannot
+    reconstruct the original whitespace — the published tool has the
+    same property, operating on byte spans). ``n_tokens_removed`` makes
+    the loss auditable, same convention as the other corpus operators.
+
+    Scale shape: one positional-window explode (one row per token,
+    carrying only id + int pos + 8-byte hash — the known linear cost of
+    ExactSubstr at corpus scale), a hash-keyed AGGREGATE
+    (count + min(struct(id, pos)) with map-side partial aggregation —
+    never a window function, which would serialize a 10^9-occurrence
+    boilerplate window into one task), a join back on the hash
+    (AQE skew-join splits hot hashes), and a per-document interval
+    union done row-locally with array HOFs (array_except is hash-based,
+    O(tokens + covered)). The grams lineage is consumed twice (the
+    aggregate and the join) — at TB scale persist/checkpoint upstream
+    so the explode runs once, same convention as dedup_paragraphs.
+    """
+    did = F.col(id_col)
+    toks_arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")),
+                "[ \t\n\x0B\f\r]+"),
+        lambda t: t != "")
+    base = docs.select(did, F.col(text_col).alias("_txt"),
+                       toks_arr.alias("_tk")) \
+               .withColumn("_ntok", F.size("_tk"))
+    n_pos = F.col("_ntok") - (n - 1)
+    grams = (base
+             .select(did, F.explode(F.when(n_pos > 0, F.transform(
+                 F.sequence(F.lit(1), n_pos),
+                 lambda i: F.struct(
+                     i.cast("int").alias("pos"),
+                     F.xxhash64(F.array_join(F.slice("_tk", i, n), " "))
+                     .alias("h"))))
+                 .otherwise(F.array().cast(
+                     "array<struct<pos:int,h:bigint>>"))).alias("g"))
+             .select(did, F.col("g.pos").alias("pos"),
+                     F.col("g.h").alias("h")))
+    dup_hashes = (grams.groupBy("h")
+                  .agg(F.count("*").alias("_cnt"),
+                       F.min(F.struct(did, F.col("pos"))).alias("_first"))
+                  .filter(F.col("_cnt") > 1)
+                  .select("h", "_first"))
+    losers = (grams.join(dup_hashes, "h")
+              .filter((F.col(f"_first.{id_col}") != did)
+                      | (F.col("_first.pos") != F.col("pos"))))
+    removed = losers.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_dup_pos"))
+    joined = base.join(removed, id_col, "left")
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.col("_dup_pos"), lambda p: F.sequence(p, p + (n - 1)))))
+    kept_idx = F.array_except(F.sequence(F.lit(1), F.col("_ntok")),
+                              covered)
+    excised = F.array_join(
+        F.transform(kept_idx, lambda i: F.element_at(F.col("_tk"), i)),
+        " ")
+    untouched = F.col("_dup_pos").isNull()
+    return joined.select(
+        did,
+        F.when(untouched, F.col("_txt")).otherwise(excised).alias("text"),
+        F.col("_ntok").cast("int").alias("n_tokens"),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.col("_ntok") - F.size(kept_idx))
+        .cast("int").alias("n_tokens_removed"))

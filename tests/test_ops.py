@@ -1015,3 +1015,55 @@ def test_dedup_by_url(spark):
            for r in dedup_by_url(df).collect()}
     assert out["https://example.com/post/42"] == (1, 3)
     assert out["https://example.com/post/43"] == (4, 1)
+
+
+def test_dedup_substrings(spark):
+    """Exact substring dedup: a shared >= n-token span survives only at
+    its corpus-wide first (doc_id, pos); later occurrences lose exactly
+    the span's tokens; untouched docs keep their ORIGINAL bytes."""
+    from defuddle_spark.ops.dedup import dedup_substrings
+    span = "s1 s2 s3 s4 s5 s6"
+    rows = [
+        (1, f"a  b c {span} d e f"),          # winner (double space kept)
+        (2, f"x y {span} z w"),               # loser: span excised
+        (3, "totally unrelated words only here today"),
+        (4, None),
+        (5, "p q r t u p q r t u"),           # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_substrings(df, n=5).collect()}
+    assert len(out) == 5
+    # the winner is untouched, original whitespace preserved
+    assert out[1]["text"] == f"a  b c {span} d e f"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (12, 0)
+    # the loser drops exactly the 6 span tokens
+    assert out[2]["text"] == "x y z w"
+    assert (out[2]["n_tokens"], out[2]["n_tokens_removed"]) == (10, 6)
+    assert out[3]["text"] == "totally unrelated words only here today"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text"] is None
+    assert (out[4]["n_tokens"], out[4]["n_tokens_removed"]) == (0, 0)
+    # within-doc: second occurrence excised, first kept
+    assert out[5]["text"] == "p q r t u"
+    assert (out[5]["n_tokens"], out[5]["n_tokens_removed"]) == (10, 5)
+
+
+def test_dedup_substrings_long_span_layout_independent(spark):
+    """A long duplicated passage (L >> n) is covered by its overlapping
+    windows; the keep rule is the corpus-wide minimum regardless of
+    partition layout."""
+    from defuddle_spark.ops.dedup import dedup_substrings
+    passage = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, f"unique{i} opening here {passage} closing{i} bit")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+              .repartition(7)
+    out = {r["doc_id"]: r for r in dedup_substrings(df, n=8).collect()}
+    assert out[0]["n_tokens_removed"] == 0          # doc 0 wins
+    assert passage in out[0]["text"]
+    # the shared run is "opening here w0..w29" = 32 tokens: the two
+    # context words before the passage are themselves corpus-duplicated
+    for i in range(1, 20):
+        assert out[i]["n_tokens_removed"] == 32
+        assert "w0" not in out[i]["text"].split()
+        assert out[i]["text"] == f"unique{i} closing{i} bit"
