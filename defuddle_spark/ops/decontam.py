@@ -21,17 +21,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# explicit ASCII whitespace, not \s — Java's \s includes \x0B, RE2's
-# (DuckDB, Go) does not; decontamination verdicts must not depend on
-# which engine tokenized (same rule as textstats._tokens)
-_WS = "[ \t\n\x0B\f\r]+"
+# the shared ASCII-whitespace tokenizer class (never \s — see the
+# textstats.ASCII_WS_RE parity note) and the narrow-input guard
+from .dedup import _ensure_parallel
+from .textstats import ASCII_WS_RE
 
 
 def _gram_hashes(text_col: str, n: int) -> F.Column:
     """array<long> of xxhash64 over the distinct lowercase n-grams of a
     document. Docs with fewer than ``n`` tokens have no n-grams."""
     toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), _WS),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                ASCII_WS_RE),
         lambda t: t != "")
     n_grams = F.size(toks) - (n - 1)
     grams = F.when(n_grams > 0, F.transform(
@@ -70,7 +71,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     if broadcast_bench:
         bench = F.broadcast(bench)
     hit = bench.withColumn("_hit", F.lit(1))
-    exploded = docs.select(
+    exploded = _ensure_parallel(docs).select(
         F.col(id_col),
         F.explode_outer(_gram_hashes(text_col, n)).alias("gram_hash"))
     stats = (exploded
@@ -91,20 +92,26 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
 def contamination_pairs(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                         id_col: str = "doc_id", text_col: str = "text",
                         bench_id_col: str = "bench_id",
-                        bench_text_col: str = "text") -> DataFrame:
+                        bench_text_col: str = "text",
+                        broadcast_bench: bool = True) -> DataFrame:
     """Which eval document each training doc collides with: distinct
     (doc_id, bench_id) pairs — the audit trail behind a drop list.
-    Same broadcast join shape as decontaminate; the distinct is the
-    only corpus-keyed shuffle and it carries id pairs only."""
+    Same broadcast join shape as decontaminate (and the same
+    ``broadcast_bench=False`` escape hatch — this side is strictly
+    larger, per-bench_id gram rows rather than a distinct hash set);
+    the distinct is the only corpus-keyed shuffle and it carries id
+    pairs only."""
     bench = (benchmark
              .select(F.col(bench_id_col),
                      F.explode(_gram_hashes(bench_text_col, n))
                      .alias("gram_hash"))
              .distinct())
-    exploded = docs.select(
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    exploded = _ensure_parallel(docs).select(
         F.col(id_col),
         F.explode(_gram_hashes(text_col, n)).alias("gram_hash"))
     return (exploded
-            .join(F.broadcast(bench), "gram_hash")
+            .join(bench, "gram_hash")
             .select(id_col, bench_id_col)
             .distinct())

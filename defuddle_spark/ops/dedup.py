@@ -863,32 +863,43 @@ def dedup_substrings(docs: DataFrame, n: int = 50,
     aggregate and the join) — at TB scale persist/checkpoint upstream
     so the explode runs once, same convention as dedup_paragraphs.
     """
+    from .textstats import ASCII_WS_RE
     did = F.col(id_col)
+    docs = _ensure_parallel(docs)
     toks_arr = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")),
-                "[ \t\n\x0B\f\r]+"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), ASCII_WS_RE),
         lambda t: t != "")
     base = docs.select(did, F.col(text_col).alias("_txt"),
                        toks_arr.alias("_tk")) \
                .withColumn("_ntok", F.size("_tk"))
     n_pos = F.col("_ntok") - (n - 1)
+    # window text is joined ONCE per window; the two hashes are taken in
+    # a post-explode projection (same stage, before any shuffle) so the
+    # ~n-token gram string never crosses an exchange
     grams = (base
              .select(did, F.explode(F.when(n_pos > 0, F.transform(
                  F.sequence(F.lit(1), n_pos),
                  lambda i: F.struct(
                      i.cast("int").alias("pos"),
-                     F.xxhash64(F.array_join(F.slice("_tk", i, n), " "))
-                     .alias("h"))))
+                     F.array_join(F.slice("_tk", i, n), " ")
+                     .alias("txt"))))
                  .otherwise(F.array().cast(
-                     "array<struct<pos:int,h:bigint>>"))).alias("g"))
+                     "array<struct<pos:int,txt:string>>")))
+                 .alias("g"))
              .select(did, F.col("g.pos").alias("pos"),
-                     F.col("g.h").alias("h")))
-    dup_hashes = (grams.groupBy("h")
+                     F.xxhash64(F.col("g.txt")).alias("h1"),
+                     F.xxhash64(F.col("g.txt"), F.lit(1)).alias("h2")))
+    # two independently-seeded xxhash64 = 128 effective bits: at 10^13
+    # windows a single 64-bit space yields real birthday collisions,
+    # which here would excise UNIQUE text (same reason the sibling
+    # exact ops key on 128-bit md5); two longs stay 16 bytes/row where
+    # a hex md5 string is 32
+    dup_hashes = (grams.groupBy("h1", "h2")
                   .agg(F.count("*").alias("_cnt"),
                        F.min(F.struct(did, F.col("pos"))).alias("_first"))
                   .filter(F.col("_cnt") > 1)
-                  .select("h", "_first"))
-    losers = (grams.join(dup_hashes, "h")
+                  .select("h1", "h2", "_first"))
+    losers = (grams.join(dup_hashes, ["h1", "h2"])
               .filter((F.col(f"_first.{id_col}") != did)
                       | (F.col("_first.pos") != F.col("pos"))))
     removed = losers.groupBy(id_col).agg(

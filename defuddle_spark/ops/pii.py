@@ -28,8 +28,12 @@ _OCT = r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
 IPV4_RE = rf"(?<![0-9.]){_OCT}\.{_OCT}\.{_OCT}\.{_OCT}(?![0-9.])"
 # US-shaped: optional (area), first separator optional (covers
 # "(555)123-4567"), second required so bare 10-digit runs (ids,
-# timestamps) never match; digit-bounded on both ends
-PHONE_RE = r"(?<![0-9])\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}(?![0-9])"
+# timestamps) never match. Bounded by digits AND dot-digit on both
+# ends: "3.141 592.6535" must not yield a phone starting after the
+# decimal point, and "555 123.4567.89" must not steal a decimal's
+# integer part — but a sentence-final "...-4567." still matches.
+PHONE_RE = (r"(?<![0-9])(?<!\.)"
+            r"\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}(?!\.?[0-9])")
 
 MASKS = {"email": "|||EMAIL_ADDRESS|||", "ipv4": "|||IP_ADDRESS|||",
          "phone": "|||PHONE_NUMBER|||"}
@@ -68,7 +72,11 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         total = total + F.when(
             text.isNull(), F.lit(0)).otherwise(
             F.regexp_count(text, F.lit(pattern)))
-        text = F.regexp_replace(text, pattern, masks[kind])
+        # quoteReplacement: a caller mask containing '\' or '$' must be
+        # literal, not a Java group reference (unescaped '$1' throws at
+        # runtime mid-corpus)
+        mask = masks[kind].replace("\\", "\\\\").replace("$", "\\$")
+        text = F.regexp_replace(text, pattern, mask)
     return docs.select(
         F.col(id_col),
         text.alias("text"),

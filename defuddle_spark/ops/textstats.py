@@ -23,11 +23,16 @@ LANG_MARKERS = {
 }
 
 
+# explicit charclass instead of \s: Java regex \s includes \x0B,
+# RE2 (the DuckDB oracles, Go) does not — spelling out ASCII whitespace
+# keeps Spark and oracle tokenization identical on every byte. THE
+# single source of truth: dedup/decontam import this so a future edit
+# cannot silently diverge their tokenization from the text stats.
+ASCII_WS_RE = "[ \t\n\x0B\f\r]+"
+
+
 def _tokens(text_col: str) -> F.Column:
-    # explicit charclass instead of \s: Java regex \s includes \x0B,
-    # RE2 (the DuckDB oracles) does not — spelling out ASCII whitespace
-    # keeps Spark and oracle tokenization identical on every byte
-    return F.split(F.trim(F.col(text_col)), "[ \t\n\x0B\f\r]+")
+    return F.split(F.trim(F.col(text_col)), ASCII_WS_RE)
 
 
 def token_count_col(text_col: str) -> F.Column:

@@ -43,9 +43,10 @@ def canonical_url_col(url_col: str = "url", strip_www: bool = True,
         host = F.regexp_replace(host, r"^www\.", "")
     auth = F.try_parse_url(url, F.lit("AUTHORITY"))
     port = F.regexp_extract(auth, ":([0-9]+)$", 1)
-    default_port = F.coalesce(
-        F.create_map(*[F.lit(x) for kv in _DEFAULT_PORTS.items()
-                       for x in kv]).getItem(proto), F.lit(""))
+    default_port = F.lit("")
+    for scheme, p in _DEFAULT_PORTS.items():
+        default_port = F.when(proto == scheme, F.lit(p)) \
+                        .otherwise(default_port)
     port_part = F.when((port == "") | (port == default_port), F.lit("")) \
                  .otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_replace(
@@ -81,11 +82,21 @@ def dedup_by_url(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (doc_id, canonical_url, dup_count) for surviving
     representatives — the dedup_exact contract keyed on the canonical
-    URL instead of the content hash.
+    URL instead of the content hash. Docs whose canonical form is NULL
+    or empty (missing/blank url metadata) are NOT a dup group: each
+    keeps its own row with dup_count 1 — a crawl shard with absent urls
+    must never collapse to a single survivor.
     """
+    canon = canonical_url_col(url_col, strip_www, tracking_params)
+    # group key: the canonical URL, or a per-doc sentinel when there is
+    # no usable URL ("\0" cannot appear in a parse_url rebuild)
+    key = F.coalesce(F.nullif(canon, F.lit("")),
+                     F.concat(F.lit("\x00"), F.col(id_col).cast("string")))
     return (docs
-            .groupBy(canonical_url_col(url_col, strip_www, tracking_params)
-                     .alias("canonical_url"))
+            .select(F.col(id_col), canon.alias("canonical_url"),
+                    key.alias("_key"))
+            .groupBy("_key")
             .agg(F.min(id_col).alias(id_col),
+                 F.max("canonical_url").alias("canonical_url"),
                  F.count("*").cast("int").alias("dup_count"))
             .select(id_col, "canonical_url", "dup_count"))

@@ -1067,3 +1067,47 @@ def test_dedup_substrings_long_span_layout_independent(spark):
         assert out[i]["n_tokens_removed"] == 32
         assert "w0" not in out[i]["text"].split()
         assert out[i]["text"] == f"unique{i} closing{i} bit"
+
+
+def test_dedup_by_url_null_and_blank_not_collapsed(spark):
+    """Docs with missing/blank urls are not a duplicate group: each
+    keeps its own row (review finding: NULL canonical collapsed a
+    whole shard to one survivor)."""
+    from defuddle_spark.ops.urls import dedup_by_url
+    rows = [(1, None), (2, None), (3, "   "), (4, "https://a.test/x"),
+            (5, "https://a.test/x/")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = dedup_by_url(df).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 2, 3, 4]              # 5 collapses into 4 only
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[4]["dup_count"] == 2
+    for i in (1, 2, 3):
+        assert by_id[i]["dup_count"] == 1
+
+
+def test_pii_decimals_not_phones(spark):
+    """Adjacent decimal numbers are not phones (review finding), and
+    a sentence-final phone still matches."""
+    from defuddle_spark.ops.pii import pii_signals
+    rows = [(1, "coords 3.141 592.6535 logged"),
+            (2, "pi to 8 places 3.14159265 and e 2.71828182 here"),
+            (3, "call 555-123-4567."),
+            (4, "range 555 123.4567.89 is a version-ish run")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert out[1]["n_phones"] == 0 and not out[1]["has_pii"]
+    assert out[2]["n_phones"] == 0
+    assert out[3]["n_phones"] == 1
+    assert out[4]["n_phones"] == 0
+
+
+def test_redact_pii_literal_masks(spark):
+    """Caller masks containing '$'/'\\' are literal replacements, not
+    Java group references (review finding: '$1' crashed the job)."""
+    from defuddle_spark.ops.pii import redact_pii
+    df = spark.createDataFrame([(1, "mail jo@x.org now")],
+                               "doc_id long, text string")
+    out = redact_pii(df, masks={"email": r"[$1\REDACTED]"}).collect()[0]
+    assert out["text"] == r"mail [$1\REDACTED] now"
+    assert out["n_redacted"] == 1
