@@ -130,3 +130,56 @@ def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
         F.size(kept_arr).cast("int").alias("n_lines_kept"),
         n_sent.cast("int").alias("n_sentences"),
         page_ok.alias("page_kept"))
+
+
+def mix_sources(docs: DataFrame, weights: dict, strata_col: str,
+                id_col: str = "doc_id", text_col: str = "text",
+                budget_tokens: int | None = None, salt: str = "",
+                rates_out: dict | None = None) -> DataFrame:
+    """Deterministic source mixing to a token budget (the data-mixture
+    step before tokenization: "20% code, 30% web, 50% books"):
+    ``weights`` maps stratum value -> target fraction of the sampled
+    token mass. Keep-rates are derived from the corpus's actual
+    per-stratum token counts, then applied with the content-addressed
+    stratified sampler — so the mixture is reproducible across runs,
+    layouts, and engines, and rebalancing is a one-line weight change.
+
+    ``budget_tokens`` caps total sampled tokens; omitted, the budget is
+    the LARGEST achievable under the weights (the binding stratum keeps
+    rate 1.0). Weights are normalized over the strata present; a weight
+    on a stratum with zero tokens raises (the mixture is unachievable,
+    and silently renormalizing would mis-state every other proportion).
+    Sampling is doc-level, so per-stratum token mass matches the target
+    in expectation (exact-mass packing would need per-doc knapsack).
+    ``rates_out``, if given, receives {stratum: keep_rate} plus the
+    resolved budget under key ``None`` for audit.
+
+    Scale shape: one map-side-combined aggregate over (stratum) to get
+    token counts — the collect is len(weights) rows — then the same
+    zero-shuffle hash filter as stratified_hash_sample.
+    """
+    from .textstats import token_count_col
+    if not weights:
+        raise ValueError("mix_sources: weights must be non-empty")
+    total_w = sum(weights.values())
+    target = {k: w / total_w for k, w in weights.items()}
+    counts = {r["_s"]: r["_tok"] for r in (docs
+              .filter(F.col(strata_col).isin(list(weights)))
+              .groupBy(F.col(strata_col).alias("_s"))
+              .agg(F.sum(token_count_col(text_col)).alias("_tok"))
+              .collect())}
+    missing = [k for k in weights if not counts.get(k)]
+    if missing:
+        raise ValueError(
+            f"mix_sources: strata {missing} have no tokens in the "
+            f"corpus; the requested mixture is unachievable")
+    # the binding stratum: smallest tokens/weight ratio caps the budget
+    max_budget = min(counts[k] / target[k] for k in weights)
+    budget = min(budget_tokens, max_budget) if budget_tokens else max_budget
+    rates = {k: min(1.0, (target[k] * budget) / counts[k])
+             for k in weights}
+    if rates_out is not None:
+        rates_out.update(rates)
+        rates_out[None] = int(budget)
+    return stratified_hash_sample(docs, rates, strata_col, id_col,
+                                  default_rate=0.0, salt=salt)

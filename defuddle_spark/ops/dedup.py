@@ -920,3 +920,56 @@ def dedup_substrings(docs: DataFrame, n: int = 50,
         F.when(untouched, F.lit(0))
         .otherwise(F.col("_ntok") - F.size(kept_idx))
         .cast("int").alias("n_tokens_removed"))
+
+
+def _accent_table() -> tuple:
+    """Lowercase Latin-1/Latin-Extended-A letter -> ASCII base letter,
+    derived from the stdlib's Unicode NFD data at import (deterministic,
+    no ICU dependency) plus the handful of non-decomposing strokes. The
+    result feeds a codegen translate() — no Python in the hot path."""
+    import unicodedata
+    extra = {"ø": "o", "đ": "d", "ħ": "h", "ł": "l", "ı": "i",
+             "ð": "d", "þ": "t", "ŧ": "t", "ĸ": "k"}
+    src, dst = [], []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp).lower()
+        if ch in src or ch in extra:
+            continue
+        d = unicodedata.normalize("NFD", ch)
+        if d != ch and "a" <= d[0] <= "z":
+            src.append(ch)
+            dst.append(d[0])
+    for ch, base in extra.items():
+        src.append(ch)
+        dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+_ACCENT_SRC, _ACCENT_DST = _accent_table()
+
+
+def normalize_for_dedup_col(text_col: str = "text") -> F.Column:
+    """The CCNet-style text canonicalization applied BEFORE hashing for
+    dedup (public: lowercase, strip accents, unify digits to zero, drop
+    punctuation, collapse whitespace) — so "Call 555-0199!" and
+    "call 555 0100" hash identically and near-identical boilerplate
+    collapses despite cosmetic drift.
+
+    Entirely codegen (lower / translate / regexp_replace): compose as
+    ``dedup_exact(docs.withColumn("text", normalize_for_dedup_col()))``
+    or feed it to dedup_paragraphs/minhash upstream. Accent folding
+    covers Latin-1 + Latin-Extended-A via a translate table; scripts
+    beyond that pass through unchanged (documented partial coverage —
+    full ICU normalization would need a Pandas UDF off the hot path).
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    # ß/æ/œ expand to two letters — translate() is 1:1, so replace first
+    t = F.replace(t, F.lit("ß"), F.lit("ss"))
+    t = F.replace(t, F.lit("æ"), F.lit("ae"))
+    t = F.replace(t, F.lit("œ"), F.lit("oe"))
+    t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    # \p{L}/\p{N}: keep letters and digits of every script, drop
+    # punctuation and symbols
+    t = F.regexp_replace(t, r"[^\p{L}\p{N} \t\n\x0B\f\r]", "")
+    return F.trim(F.regexp_replace(t, "[ \t\n\x0B\f\r]+", " "))

@@ -1111,3 +1111,64 @@ def test_redact_pii_literal_masks(spark):
     out = redact_pii(df, masks={"email": r"[$1\REDACTED]"}).collect()[0]
     assert out["text"] == r"mail [$1\REDACTED] now"
     assert out["n_redacted"] == 1
+
+
+def test_normalize_for_dedup(spark):
+    """CCNet canonicalization: case, accents, digits, punctuation, and
+    whitespace drift all hash to the same key; non-Latin scripts pass
+    through."""
+    from defuddle_spark.ops.dedup import normalize_for_dedup_col
+    rows = [
+        (1, "Call 555-0199, José!"),
+        (2, "call   555-0100. JOSE"),
+        (3, "Łódź — ØRSTED im Straße"),
+        (4, "日本語 text stays 123"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["norm"] for r in df.select(
+        "doc_id", normalize_for_dedup_col().alias("norm")).collect()}
+    # punctuation is REMOVED (not spaced), digits unify: CCNet rule
+    assert out[1] == "call 0000000 jose"
+    assert out[1] == out[2]                 # the dedup-collapse case
+    assert out[3] == "lodz orsted im strasse"
+    assert out[4] == "日本語 text stays 000"
+    assert out[5] == ""
+
+
+def test_mix_sources(spark):
+    """Token-budget mixing: rates derive from actual per-stratum token
+    mass, the binding stratum keeps rate 1.0, and sampled proportions
+    land near the target; unachievable mixtures raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+    from defuddle_spark.ops.corpus import mix_sources
+    # web: 3000 docs x 10 tokens; code: 1000 x 10; books: 200 x 10
+    rows = ([(i, "web", "w " * 10) for i in range(3000)]
+            + [(10_000 + i, "code", "c " * 10) for i in range(1000)]
+            + [(20_000 + i, "books", "b " * 10) for i in range(200)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = {}
+    out = mix_sources(df, {"web": 0.5, "code": 0.4, "books": 0.1},
+                      "source", rates_out=rates)
+    # books binds: 2000 tokens at 10% -> budget 20000; code needs 8000
+    # of its 10000 (rate .8), web 10000 of 30000 (rate 1/3)
+    assert rates[None] == 20_000
+    assert rates["books"] == 1.0
+    assert abs(rates["code"] - 0.8) < 1e-9
+    assert abs(rates["web"] - 1 / 3) < 1e-9
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(_F.count("*").alias("n")).collect()}
+    assert got["books"] == 200
+    assert abs(got["code"] - 800) < 80       # hash sampling, +-10%
+    assert abs(got["web"] - 1000) < 100
+    # explicit budget below the max scales every rate down
+    rates2 = {}
+    mix_sources(df, {"web": 0.5, "code": 0.5}, "source",
+                budget_tokens=10_000, rates_out=rates2)
+    assert rates2[None] == 10_000
+    assert abs(rates2["web"] - 5000 / 30000) < 1e-9
+    assert abs(rates2["code"] - 0.5) < 1e-9
+    # a stratum with no tokens present -> eager refusal
+    with _pytest.raises(ValueError, match="unachievable"):
+        mix_sources(df, {"web": 0.5, "video": 0.5}, "source")
