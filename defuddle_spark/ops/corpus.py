@@ -159,8 +159,12 @@ def mix_sources(docs: DataFrame, weights: dict, strata_col: str,
     zero-shuffle hash filter as stratified_hash_sample.
     """
     from .textstats import token_count_col
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("mix_sources: weights must be >= 0")
+    # weight 0.0 is the natural spelling of "exclude this stratum"
+    weights = {k: w for k, w in weights.items() if w > 0}
     if not weights:
-        raise ValueError("mix_sources: weights must be non-empty")
+        raise ValueError("mix_sources: no stratum has a positive weight")
     total_w = sum(weights.values())
     target = {k: w / total_w for k, w in weights.items()}
     counts = {r["_s"]: r["_tok"] for r in (docs
@@ -175,7 +179,8 @@ def mix_sources(docs: DataFrame, weights: dict, strata_col: str,
             f"corpus; the requested mixture is unachievable")
     # the binding stratum: smallest tokens/weight ratio caps the budget
     max_budget = min(counts[k] / target[k] for k in weights)
-    budget = min(budget_tokens, max_budget) if budget_tokens else max_budget
+    budget = (min(budget_tokens, max_budget)
+              if budget_tokens is not None else max_budget)
     rates = {k: min(1.0, (target[k] * budget) / counts[k])
              for k in weights}
     if rates_out is not None:

@@ -948,28 +948,49 @@ def _accent_table() -> tuple:
 _ACCENT_SRC, _ACCENT_DST = _accent_table()
 
 
+# Unicode space separators (Zs minus ASCII space) spelled explicitly so
+# the class is identical under Java regex and RE2
+_UNI_SPACES = ("\u00A0\u1680\u2000-\u200A\u202F\u205F\u3000")
+
+
 def normalize_for_dedup_col(text_col: str = "text") -> F.Column:
     """The CCNet-style text canonicalization applied BEFORE hashing for
-    dedup (public: lowercase, strip accents, unify digits to zero, drop
-    punctuation, collapse whitespace) — so "Call 555-0199!" and
-    "call 555 0100" hash identically and near-identical boilerplate
+    dedup (lowercase, fold accents, unify decimal digits to zero, drop
+    punctuation/symbols, unify whitespace) — so "Call 555-0199!" and
+    "call 555-0100" hash identically and near-identical boilerplate
     collapses despite cosmetic drift.
 
-    Entirely codegen (lower / translate / regexp_replace): compose as
-    ``dedup_exact(docs.withColumn("text", normalize_for_dedup_col()))``
-    or feed it to dedup_paragraphs/minhash upstream. Accent folding
-    covers Latin-1 + Latin-Extended-A via a translate table; scripts
-    beyond that pass through unchanged (documented partial coverage —
-    full ICU normalization would need a Pandas UDF off the hot path).
+    Use it to build the dedup KEY: ``dedup_exact(docs.withColumn("text",
+    normalize_for_dedup_col()))`` is lossless (dedup_exact returns ids
+    only). Newlines are PRESERVED (horizontal whitespace collapses, NBSP
+    and the other Unicode space separators unify to plain space), so
+    paragraph boundaries survive for dedup_paragraphs — but note that
+    op returns its input text, which after this composition is the
+    normalized form; keep the original column alongside if you need the
+    raw bytes back.
+
+    Entirely codegen (lower / translate / regexp_replace). Coverage,
+    honestly stated: accent FOLDING covers Latin-1 + Latin-Extended-A
+    via a translate table; combining marks (\\p{M}) are kept so Indic/
+    Thai/Arabic vowel signs are not destroyed; decimal digits of every
+    script (\\p{Nd}) unify to 0; other scripts pass through unchanged.
+    Full ICU normalization would need a Pandas UDF off the hot path.
     """
+    from .textstats import ASCII_WS_CHARS
+    hws = ASCII_WS_CHARS.replace("\n", "")  # horizontal whitespace only
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     # ß/æ/œ expand to two letters — translate() is 1:1, so replace first
     t = F.replace(t, F.lit("ß"), F.lit("ss"))
     t = F.replace(t, F.lit("æ"), F.lit("ae"))
     t = F.replace(t, F.lit("œ"), F.lit("oe"))
     t = F.translate(t, _ACCENT_SRC, _ACCENT_DST)
-    t = F.regexp_replace(t, r"[0-9]", "0")
-    # \p{L}/\p{N}: keep letters and digits of every script, drop
-    # punctuation and symbols
-    t = F.regexp_replace(t, r"[^\p{L}\p{N} \t\n\x0B\f\r]", "")
-    return F.trim(F.regexp_replace(t, "[ \t\n\x0B\f\r]+", " "))
+    t = F.regexp_replace(t, r"\p{Nd}", "0")
+    # unify Unicode space separators (NBSP & co) to plain space BEFORE
+    # the keep-class, or they would be deleted and merge adjacent words
+    t = F.regexp_replace(t, "[" + _UNI_SPACES + "]", " ")
+    # keep letters, combining marks, numbers, whitespace; drop the rest
+    t = F.regexp_replace(t, "[^\\p{L}\\p{M}\\p{N}" + ASCII_WS_CHARS + "]",
+                         "")
+    t = F.regexp_replace(t, "[" + hws + "]+", " ")
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    return F.trim(t)

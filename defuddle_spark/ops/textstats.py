@@ -26,9 +26,10 @@ LANG_MARKERS = {
 # explicit charclass instead of \s: Java regex \s includes \x0B,
 # RE2 (the DuckDB oracles, Go) does not — spelling out ASCII whitespace
 # keeps Spark and oracle tokenization identical on every byte. THE
-# single source of truth: dedup/decontam import this so a future edit
+# single source of truth: dedup/decontam import these so a future edit
 # cannot silently diverge their tokenization from the text stats.
-ASCII_WS_RE = "[ \t\n\x0B\f\r]+"
+ASCII_WS_CHARS = " \t\n\x0B\f\r"
+ASCII_WS_RE = "[" + ASCII_WS_CHARS + "]+"
 
 
 def _tokens(text_col: str) -> F.Column:

@@ -1134,6 +1134,22 @@ def test_normalize_for_dedup(spark):
     assert out[3] == "lodz orsted im strasse"
     assert out[4] == "日本語 text stays 000"
     assert out[5] == ""
+    # review findings pinned: combining marks survive (Indic vowel
+    # signs), NBSP unifies to space instead of deleting, non-ASCII
+    # decimal digits unify to 0, and newlines are preserved so the
+    # dedup_paragraphs composition keeps its paragraph boundaries
+    extra = spark.createDataFrame(
+        [(10, "\u0915 \u0915\u0940"),          # ka, kii (vowel sign)
+         (11, "foo\u00a0bar"), (12, "foo bar"),
+         (13, "\u0660\u0661\u0662 and 456"),   # arabic-indic digits
+         (14, "Para one.  \n\nPara  two!")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["norm"] for r in extra.select(
+        "doc_id", normalize_for_dedup_col().alias("norm")).collect()}
+    assert got[10] == "\u0915 \u0915\u0940"     # NOT collapsed to ka ka
+    assert got[11] == "foo bar" and got[11] == got[12]
+    assert got[13] == "000 and 000"
+    assert got[14] == "para one\n\npara two"
 
 
 def test_mix_sources(spark):

@@ -108,8 +108,21 @@ def main() -> None:
     # throughput / summed concurrent-replica throughput.
     replicas = [_spawn(f"{i * unit}-{(i + 1) * unit - 1}", unit)
                 for i in range(units)]
-    rep_runs = [_result(p) for p in replicas]
+    try:
+        rep_runs = [_result(p) for p in replicas]
+    finally:
+        # one failed child must not leave its siblings burning 24
+        # pinned cores as orphaned JVMs (they also corrupt any
+        # subsequent timing run on the box)
+        for p in replicas:
+            if p.poll() is None:
+                p.kill()
     wide = _result(_spawn(f"0-{unit * units - 1}", unit * units))
+    planted = (N_DOCS // 5 - 1) * PASSAGE_TOKENS
+    if wide["tokens_removed"] != planted:
+        raise RuntimeError(
+            f"tokens_removed {wide['tokens_removed']} != planted "
+            f"{planted}: the op excised the wrong spans")
     # raw bracket: ONE pinned unit-core job with the rest of the box
     # idle — unfairly FAST (solo turbo, whole DRAM to itself), where
     # the concurrent replicas are unfairly SLOW (4x Spark shuffle jobs
