@@ -1188,3 +1188,41 @@ def test_mix_sources(spark):
     # a stratum with no tokens present -> eager refusal
     with _pytest.raises(ValueError, match="unachievable"):
         mix_sources(df, {"web": 0.5, "video": 0.5}, "source")
+
+
+def test_normalize_for_dedup_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x) over a seeded diverse
+    corpus (mixed scripts, combining marks, unicode spaces, digits,
+    case-fold expansions) — a canonicalization that is not a fixpoint
+    would make dedup keys depend on how many times a pipeline stage
+    ran."""
+    import random
+    from defuddle_spark.ops.dedup import normalize_for_dedup_col
+    rng = random.Random(42)
+    pieces = ["Straße", "ẞIG", "İstanbul", "क की", "ไปู", "مرحبا ٣٤٥",
+              "ĲSSEL", "ﬀi", "№5", "½", "Ⅻ", "a b", "x　y",
+              "é", "tab\there", "line\nbreak", "¡Hola!", "…",
+              "ÆON", "œuf", "ŁÓDŹ", "42.5%", "＄１００", "ｶﾀｶﾅ"]
+    rows = [(i, " ".join(rng.choices(pieces, k=rng.randint(1, 12))))
+            for i in range(200)]
+    rows += [(900, None), (901, ""), (902, " \t\n "), (903, "".join(pieces))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = df.select("doc_id", normalize_for_dedup_col().alias("text"))
+    diverged = (once
+                .withColumn("again", normalize_for_dedup_col())
+                .filter(F.col("text") != F.col("again")))
+    assert diverged.count() == 0
+
+
+def test_dedup_substrings_second_pass_removes_nothing(spark):
+    """On a planted corpus (no cross-excision-boundary collisions by
+    construction), a second dedup pass over the output is a no-op —
+    the operator converges in one pass instead of oscillating."""
+    from defuddle_spark.ops.dedup import dedup_substrings
+    span = " ".join(f"s{i}" for i in range(12))
+    rows = [(i, f"u{i}a u{i}b u{i}c {span} u{i}d u{i}e u{i}f")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = dedup_substrings(df, n=5).select("doc_id", "text")
+    second = dedup_substrings(first, n=5)
+    assert second.agg(F.sum("n_tokens_removed")).head()[0] == 0
