@@ -648,3 +648,41 @@ def test_get_spark_rocksdb_flag_shapes_builder():
         SparkSession.builder = orig
     for k, v in ROCKSDB_STATE_CONF.items():
         assert captured.get(k) == v
+
+
+def test_streaming_pii_and_decontam_match_batch(spark, tmp_path):
+    """The session's stateless corpus ops compose with readStream
+    unchanged: PII redaction is a pure projection, decontamination is a
+    stream-static broadcast join (the scrub-on-ingest pattern). The
+    streaming results must equal the batch results row-for-row."""
+    from defuddle_spark.ops.decontam import decontaminate
+    from defuddle_spark.ops.pii import redact_pii
+
+    rows = [(1, "mail jo@x.org from 10.0.0.1 please"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "clean text with nothing sensitive at all here"),
+            (4, "call 555-123-4567 about alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    in_dir = str(tmp_path / "docs")
+    docs.write.parquet(in_dir)
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["bench_id", "text"])
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(in_dir))
+    redacted = redact_pii(stream)
+    verdicts = decontaminate(redacted, bench, n=5)
+
+    out = {}
+    for name, sdf in (("pii", redacted), ("decontam", verdicts)):
+        q = (sdf.writeStream.format("memory").queryName(f"s_{name}")
+             .outputMode("append" if name == "pii" else "complete")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out[name] = {tuple(r) for r in spark.sql(
+            f"select * from s_{name}").collect()}
+
+    batch_pii = {tuple(r) for r in redact_pii(docs).collect()}
+    batch_dec = {tuple(r) for r in decontaminate(docs, bench, n=5).collect()}
+    assert out["pii"] == batch_pii
+    assert out["decontam"] == batch_dec
