@@ -100,3 +100,38 @@ def dedup_by_url(docs: DataFrame, id_col: str = "doc_id",
                  F.max("canonical_url").alias("canonical_url"),
                  F.count("*").cast("int").alias("dup_count"))
             .select(id_col, "canonical_url", "dup_count"))
+
+
+def domain_stats(docs: DataFrame, url_col: str = "url",
+                 text_col: str = "text", strip_www: bool = True) -> DataFrame:
+    """Per-domain corpus audit: (domain, n_docs, n_tokens, doc_share,
+    token_share), descending by tokens — the first thing to look at
+    after a crawl lands (boilerplate farms and SEO spam show up as
+    token-heavy domains) and the input to per-domain caps or blocklist
+    decisions. ``domain`` is the lowercased host (www-stripped by
+    default); docs with no parseable host group under NULL.
+
+    Scale shape: one codegen projection + one map-side-combined groupBy
+    on the host; the share columns divide by grand totals computed with
+    a single-row broadcast join (never a window over the whole corpus).
+    """
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    from .textstats import token_count_col
+    per = (docs
+           .select(host.alias("domain"),
+                   token_count_col(text_col).alias("_tok"))
+           .groupBy("domain")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_tok").alias("n_tokens")))
+    totals = per.agg(F.sum("n_docs").alias("_td"),
+                     F.sum("n_tokens").alias("_tt"))
+    return (per.crossJoin(F.broadcast(totals))
+            .select("domain", "n_docs",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round(F.col("n_docs") / F.col("_td"), 6)
+                    .alias("doc_share"),
+                    F.round(F.col("n_tokens") / F.col("_tt"), 6)
+                    .alias("token_share"))
+            .orderBy(F.desc("n_tokens"), "domain"))

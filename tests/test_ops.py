@@ -1226,3 +1226,23 @@ def test_dedup_substrings_second_pass_removes_nothing(spark):
     first = dedup_substrings(df, n=5).select("doc_id", "text")
     second = dedup_substrings(first, n=5)
     assert second.agg(F.sum("n_tokens_removed")).head()[0] == 0
+
+
+def test_domain_stats(spark):
+    """Per-domain doc/token aggregation with shares; junk urls group
+    under NULL; www strips."""
+    from defuddle_spark.ops.urls import domain_stats
+    rows = [(1, "https://a.test/x", "one two three"),
+            (2, "https://www.a.test/y", "four five"),
+            (3, "https://b.test/z", "six seven eight nine ten"),
+            (4, "junk", "eleven")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert out["a.test"]["n_docs"] == 2 and out["a.test"]["n_tokens"] == 5
+    assert out["b.test"]["n_tokens"] == 5
+    assert out[None]["n_docs"] == 1
+    assert abs(out["a.test"]["doc_share"] - 0.5) < 1e-9
+    assert abs(out["a.test"]["token_share"] - 5 / 11) < 1e-6
+    # ordering: token-heavy first, deterministic tie-break by domain
+    ordered = [r["domain"] for r in domain_stats(df).collect()]
+    assert ordered[:2] == ["a.test", "b.test"]
