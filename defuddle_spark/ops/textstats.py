@@ -160,17 +160,42 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     - dup_*_char_frac: fraction of line/paragraph characters sitting in
       those repeats ((total chars − distinct-entry chars) / total).
     - top_{n}gram_char_frac: characters covered by the MOST frequent
-      word n-gram (count × gram length / total text chars); ties break
-      deterministically by (count, covered chars, gram) descending.
+      word n-gram (count × gram length / total text chars); the winner
+      is the (count, covered chars) maximum — when several grams tie on
+      both, they all yield the same covered-chars value, so the output
+      does not depend on which of them "wins".
 
-    Scale shape: line/paragraph signals are pure row-local array
-    expressions (whole-stage codegen, no shuffle). The n-gram signals
-    explode one row per (doc, n, gram) — the same explode + two-level
-    hash-aggregate shape as vocab_topk, with map-side partial counts —
-    then a per-(doc, n) struct-max and a pivot back to columns; shuffle
-    keyed on (doc, n, gram), never all-pairs.
+    Scale shape (round 8): EVERY signal is a pure row-local array
+    expression — zero shuffle, zero joins. The top-n-gram count is a
+    PER-DOCUMENT aggregation, so the previous explode → corpus-wide
+    exchange keyed on (doc, n, gram) — which carried raw gram strings
+    across the wire and was the most expensive exchange in the bench —
+    is replaced by hashing each document's token-slice grams (2×64
+    independent xxhash64 bits; tokens cannot contain the join
+    separator, so slice identity == gram-string identity), sorting the
+    per-doc hash array, and scanning runs in place. Output-equivalent
+    to the old corpus-shuffled struct-max: the old gram-string
+    tie-break only chose among grams with identical (count, covered
+    chars), which all produce the same emitted value.
+
+    Two hard-won evaluation rules (round 8, measured 43 s -> ~1 s at
+    sf0.1): every array a lambda slices is a MATERIALIZED column of a
+    prior projection, never an inline expression — interpreted lambda
+    bodies re-evaluate their whole subtree per element, so an inline
+    split(text) inside a per-gram slice re-runs the regex splitter
+    O(grams) times per document (the old explode paid exactly this on
+    its concat_ws(slice(tokens)) too); and narrow inputs are spread
+    first (a single parquet file scans as ONE partition, serializing
+    the whole corpus onto one core — same rationale as
+    ops.dedup._ensure_parallel).
     """
     did = F.col(id_col)
+    # spread narrow inputs before the per-row heavy lifting (plan-only
+    # probe; a no-op when the input already has many files/partitions)
+    from defuddle_spark.spark.partitions import is_narrow
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if is_narrow(docs, target):
+        docs = docs.repartition(target)
     # NULL text means every signal is 0, not NULL — and the DuckDB
     # oracle coalesces the same way, so the two engines can't diverge
     # on a nullable text column
@@ -190,51 +215,72 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
                         / F.greatest(chars, F.lit(1)).cast("double"), 6)
         return n, frac, cfrac
 
-    lines = F.filter(F.split(text, "\n"),
-                     lambda x: F.length(F.trim(x)) > 0)
-    paras = F.filter(F.split(text, "\n\n"),
-                     lambda x: F.length(F.trim(x)) > 0)
-    n_lines, dl, dlc = _dup(lines)
-    n_paras, dp, dpc = _dup(paras)
-    base = docs.select(
+    # first projection: every text-derived array is materialized ONCE
+    # per row; all downstream lambdas slice these columns (see the
+    # evaluation rules in the docstring). Tokenization deliberately
+    # stays Java \s+ — the exact split this op has always used.
+    tokens0 = F.split(F.trim(text), r"\s+")
+    pre = docs.select(
         did, F.length(text).alias("_chars"),
+        F.filter(F.split(text, "\n"),
+                 lambda x: F.length(F.trim(x)) > 0).alias("_ln"),
+        F.filter(F.split(text, "\n\n"),
+                 lambda x: F.length(F.trim(x)) > 0).alias("_pa"),
+        tokens0.alias("_tk"),
+        F.transform(tokens0, lambda t: F.length(t).cast("long"))
+        .alias("_tl"))
+    n_lines, dl, dlc = _dup(F.col("_ln"))
+    n_paras, dp, dpc = _dup(F.col("_pa"))
+    base = pre.select(
+        did, F.col("_chars"),
         n_lines.cast("int").alias("n_lines"),
         n_paras.cast("int").alias("n_paras"),
         dl.alias("dup_line_frac"), dlc.alias("dup_line_char_frac"),
-        dp.alias("dup_para_frac"), dpc.alias("dup_para_char_frac"))
+        dp.alias("dup_para_frac"), dpc.alias("dup_para_char_frac"),
+        F.col("_tk"), F.col("_tl"))
 
-    # One scan for every n: per-n (n, gram) struct arrays are built in a
-    # single projection and flattened before ONE explode — a per-n
-    # union would re-execute the whole upstream plan len(ngram_ns)
-    # times when docs is the output of an expensive pipeline stage.
-    tokens = F.split(F.trim(text), r"\s+")
+    # Row-local top-n-gram coverage (see docstring): gram identity is a
+    # pair of independent 64-bit hashes of the token SLICE (no gram
+    # string is ever materialized), the per-doc gram multiset becomes a
+    # sorted array, and one linear scan finds the (count, covered-chars)
+    # maximum.
+    tokens = F.col("_tk")
+    tok_lens = F.col("_tl")
+    zero = F.lit(0).cast("long")
 
-    def _gram_structs(n):
-        return F.when(
-            F.size(tokens) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(tokens) - n),
-                        lambda i: F.struct(
-                            F.lit(n).alias("_n"),
-                            F.concat_ws(" ", F.slice(tokens, i + 1, n))
-                            .alias("gram")))
-        ).otherwise(F.array().cast("array<struct<_n:int,gram:string>>"))
+    def _top_cov(n):
+        # number of grams; sequence() is only evaluated when >= 1
+        # (sequence(1, 0) would default to step -1 and yield [1, 0])
+        m = F.size(tokens) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                F.xxhash64(F.slice(tokens, i, n)).alias("h1"),
+                F.xxhash64(F.slice(tokens, i, n), F.lit(1)).alias("h2"),
+                (F.aggregate(F.slice(tok_lens, i, n), zero,
+                             lambda a, x: a + x)
+                 + F.lit(n - 1).cast("long")).alias("len")))
+        srt = F.array_sort(grams)
+        init = F.struct(zero.alias("h1"), zero.alias("h2"),
+                        zero.alias("run"), zero.alias("bc"),
+                        zero.alias("bcov"))
 
-    exploded = (docs.select(
-        did, F.explode(F.flatten(F.array(
-            *[_gram_structs(n) for n in ngram_ns]))).alias("_g"))
-        .select(did, F.col("_g._n").alias("_n"),
-                F.col("_g.gram").alias("gram")))
-    counts = exploded.groupBy(id_col, "_n", "gram").agg(
-        F.count("*").alias("_c"))
-    # lexicographic struct max == ORDER BY c DESC, chars DESC, gram DESC
-    top = (counts
-           .withColumn("_chars_cov", F.col("_c") * F.length("gram"))
-           .groupBy(id_col, "_n")
-           .agg(F.max(F.struct("_c", "_chars_cov", "gram")).alias("_t")))
-    pivoted = (top.groupBy(id_col)
-               .pivot("_n", list(ngram_ns))
-               .agg(F.first("_t._chars_cov")))
-    out = base.join(pivoted, id_col, "left")
+        def step(acc, x):
+            same = ((acc["run"] > 0) & (x["h1"] == acc["h1"])
+                    & (x["h2"] == acc["h2"]))
+            run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            cov2 = run2 * x["len"]
+            better = ((run2 > acc["bc"])
+                      | ((run2 == acc["bc"]) & (cov2 > acc["bcov"])))
+            return F.struct(
+                x["h1"].alias("h1"), x["h2"].alias("h2"),
+                run2.alias("run"),
+                F.when(better, run2).otherwise(acc["bc"]).alias("bc"),
+                F.when(better, cov2).otherwise(acc["bcov"]).alias("bcov"))
+
+        cov = F.aggregate(srt, init, step, lambda acc: acc["bcov"])
+        return F.when(m >= 1, cov).otherwise(zero)
+
     cols = [F.col(id_col), "n_lines", "n_paras",
             "dup_line_frac", "dup_line_char_frac",
             "dup_para_frac", "dup_para_char_frac"]
@@ -245,10 +291,10 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
         # in an 11-char text); clamp so the column stays a fraction
         cols.append(F.round(F.least(
             F.lit(1.0),
-            F.coalesce(F.col(str(n)), F.lit(0)).cast("double")
+            _top_cov(n).cast("double")
             / F.greatest(F.col("_chars"), F.lit(1)).cast("double")), 6)
             .alias(f"top_{n}gram_char_frac"))
-    return out.select(*cols)
+    return base.select(*cols)
 
 
 def vocab_topk(docs: DataFrame, k: int = 100, id_col: str = "doc_id",
