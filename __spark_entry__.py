@@ -98,16 +98,30 @@ from defuddle_spark.ops.textstats import BPE_TOKEN_RE as _BPE_RE
 _BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
 
 
-def _state_partitions(spark: SparkSession, n: int = 8):
-    """Conf bracket bounding the stateful-streaming gates' state-store
-    partition count to the gate corpus (~5k keys): every micro-batch
-    pays one state-store task + Python worker round-trip PER PARTITION,
-    so 32 partitions × N batches dominates gate wall-clock (measured on
-    the watermark gate at sf0.01: 26 s at 32 → 11 s at 8). The value is
-    pinned into the checkpoint at first start, so it brackets the whole
-    run; a production deployment sizes it to cluster cores × key volume
-    instead. Restores the session conf on exit (batch gates keep 32)."""
+def _state_partitions(spark: SparkSession, n: int = 8,
+                      n_keys: int | None = None):
+    """Conf bracket sizing the stateful-streaming gates' state-store
+    partition count to the gate corpus. Two costs pull in opposite
+    directions: every micro-batch pays one state-store task + Python
+    worker round-trip PER PARTITION (so partitions must not dwarf the
+    key volume — measured r7 on the watermark gate at sf0.01: 26 s at
+    32 → 11 s at 8), while applyInPandasWithState pays per-KEY Python
+    overhead (~0.5 ms/key — pandas frame in/out per group), so once a
+    batch carries thousands of keys the work must spread across cores
+    (measured r8, watermark gate: sf0.01 500 keys/batch 4.9 s at 8 vs
+    5.9 s at 32; sf0.1 5000 keys/batch 9.5 s at 8 vs 7.4 s at 32).
+    Passing ``n_keys`` (keys per micro-batch) picks
+    min(cores, max(8, n_keys // 150)) — ~150+ keys per partition
+    amortize the per-partition fixed cost, capped at available
+    parallelism. The value is pinned into the checkpoint at first
+    start, so it brackets the whole run; a production deployment sizes
+    it to cluster cores × key volume the same way. Restores the session
+    conf on exit (batch gates keep the session default)."""
     from contextlib import contextmanager
+
+    if n_keys is not None:
+        n = min(spark.sparkContext.defaultParallelism,
+                max(8, n_keys // 150))
 
     @contextmanager
     def bracket():
@@ -335,7 +349,10 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("defuddle_dedup_stream", sf_dir)
     inp, outp, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     _docs_doubled(spark, sf_dir).coalesce(1).write.parquet(inp)
-    with _state_partitions(spark):
+    # keys/batch = distinct texts = the base corpus size (the doubled
+    # copies share their originals' hashes); parquet-metadata count
+    n_keys = _docs(spark, sf_dir).count()
+    with _state_partitions(spark, n_keys=n_keys):
         q = dedup_exact_stream(spark, inp, outp, ckpt, available_now=True)
         q.awaitTermination()
     return spark.read.parquet(outp).select("text_md5", "doc_id")
@@ -381,7 +398,8 @@ def q_dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(part, dest)
         os.utime(dest, (1000 * (i + 1), 1000 * (i + 1)))  # batch order
         shutil.rmtree(stage, ignore_errors=True)
-    with _state_partitions(spark):
+    # one staged file per micro-batch -> keys/batch = the corpus size
+    with _state_partitions(spark, n_keys=docs.count()):
         q = dedup_exact_stream_watermark(spark, inp, outp, ckpt,
                                          dedup_window_ms=3_600_000,
                                          available_now=True,
@@ -412,7 +430,8 @@ def q_minhash_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
      .filter((F.col("doc_id") % 10000) < 100)
      .repartition(par)
      .write.parquet(inp))
-    with _state_partitions(spark):
+    # 100 distinct texts x 16 bands of bucket keys per batch
+    with _state_partitions(spark, n_keys=16 * 100):
         q = minhash_lsh_stream(spark, inp, outp, ckpt, available_now=True)
         q.awaitTermination()
     return (spark.read.parquet(outp)

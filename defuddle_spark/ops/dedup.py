@@ -101,14 +101,33 @@ def _ensure_parallel(docs: DataFrame) -> DataFrame:
     return docs
 
 
+def _let(value: F.Column, fn) -> F.Column:
+    """Bind ``value`` to a lambda variable and evaluate ``fn`` on it ONCE
+    per row: ``element_at(transform(array(value), fn), 1)``.
+
+    Interpreted lambda bodies re-evaluate their whole subtree per
+    element, so an expression like ``slice(split(text), i, k)`` inside a
+    per-shingle transform re-runs the regex splitter O(shingles) times
+    per document (measured: the quadratic re-split dominated
+    repetition_signals at 43 s before round 8 fixed it). Inside a
+    DataFrame you fix that by materializing the array as a projection
+    column; inside a Column-RETURNING api there is no projection to
+    attach to — this binder is the expression-level equivalent."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def _token_shingles(text_col: str, k: int):
-    """Array of k-token shingles (space-joined), native expressions only."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(tokens)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
-    )).otherwise(F.array(F.concat_ws(" ", tokens)))
+    """Array of k-token shingles (space-joined), native expressions only.
+
+    The token array is _let-bound so each per-shingle slice reads a
+    bound variable instead of re-splitting the text (see _let)."""
+    def build(tokens):
+        n = F.size(tokens)
+        return F.when(n >= k, F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+        )).otherwise(F.array(F.concat_ws(" ", tokens)))
+    return _let(F.split(F.trim(F.col(text_col)), r"\s+"), build)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -270,12 +289,23 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             f"is all-pairs within shared shingles; use "
             f"minhash_lsh_candidates (the banded scale path) or raise "
             f"max_docs explicitly.")
-    sh = _ensure_parallel(docs).select(
+    # the distinct-shingle array is materialized once per row: the
+    # per-doc size is row-local (no extra aggregation), and the shingle
+    # STRING never crosses an exchange — the self-join keys on a pair of
+    # independent 64-bit hashes taken in the same stage as the explode
+    # (collision of both within one shingle-key space is ~2^-128, the
+    # same guarantee dedup_substrings relies on; the join only counts
+    # matches, so the jaccard values are unchanged)
+    base = _ensure_parallel(docs).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_token_shingles(text_col, k))).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+        F.array_distinct(_token_shingles(text_col, k)).alias("_sh"))
+    sizes = base.select(F.col(id_col), F.size("_sh").alias("n"))
+    sh = (base.select(F.col(id_col), F.explode("_sh").alias("_s"))
+          .select(F.col(id_col),
+                  F.xxhash64("_s").alias("_h1"),
+                  F.xxhash64("_s", F.lit(1)).alias("_h2")))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, "sh")
+    inter = (a.join(b, ["_h1", "_h2"])
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"))
@@ -535,29 +565,41 @@ def _components_label(pairs: DataFrame, id_a: str, id_b: str,
                               F.col(id_a).alias("dst")))
              .distinct()
              .localCheckpoint(eager=True))
+    # lazy on purpose: the identity labels are consumed exactly once (the
+    # round-1 join; round 1's neigh no longer reads labels at all), so
+    # the distinct folds into round 1's job instead of paying its own
+    # eager checkpoint barrier; every later round's labels frame IS a
+    # checkpoint (nxt), so plan growth stays truncated
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+              .withColumn("label", F.col("node")))
     changed = 0
     rounds = 0
-    for _ in range(max_iters):
+    for it in range(max_iters):
         rounds += 1
-        # each node's next label: min over self-label and neighbors'
-        neigh = (edges
-                 .join(labels.withColumnRenamed("node", "dst")
-                       .withColumnRenamed("label", "nlabel"), "dst")
-                 .groupBy("src").agg(F.min("nlabel").alias("nmin"))
-                 .withColumnRenamed("src", "node"))
+        # each node's next label: min over self-label and neighbors'.
+        # Round 1 specializes: labels are still the identity, so the
+        # neighborhood-label min IS min(dst) — one groupBy, no join
+        # (round-8 fixed-cost trim; identical result by construction).
+        if it == 0:
+            neigh = (edges.groupBy("src")
+                     .agg(F.min("dst").alias("nmin"))
+                     .withColumnRenamed("src", "node"))
+        else:
+            neigh = (edges
+                     .join(labels.withColumnRenamed("node", "dst")
+                           .withColumnRenamed("label", "nlabel"), "dst")
+                     .groupBy("src").agg(F.min("nlabel").alias("nmin"))
+                     .withColumnRenamed("src", "node"))
+        new_label = F.least("label", F.coalesce("nmin", "label"))
+        # the changed flag rides the SAME checkpointed frame, so
+        # convergence detection is a narrow filter over the checkpoint
+        # instead of a second shuffle join per round (round 8)
         nxt = (labels.join(neigh, "node", "left")
-               .select("node",
-                       F.least("label", F.coalesce("nmin", "label"))
-                       .alias("label"))
+               .select("node", new_label.alias("label"),
+                       (new_label != F.col("label")).alias("_chg"))
                .localCheckpoint(eager=True))
-        changed = (nxt.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
+        changed = nxt.filter("_chg").limit(1).count()
         # Release the previous round: Dataset.unpersist() is a NO-OP for
         # localCheckpointed frames (the RDD is persisted at the RDD
         # level, not via the CacheManager), so the actual reclamation
@@ -565,7 +607,7 @@ def _components_label(pairs: DataFrame, id_a: str, id_b: str,
         # only handle, the py4j wrapper is collected, and the JVM
         # ContextCleaner unpersists the orphaned checkpoint RDD. Storage
         # is therefore bounded by GC latency, not O(rounds).
-        labels = nxt
+        labels = nxt.drop("_chg")
         if changed == 0:
             break
     if stats is not None:
@@ -798,17 +840,30 @@ def minhash_signature_col(text_col: str = "text", num_perm: int = 64,
     combine beats interpreted HOFs at batch volume — see
     minhash_signatures); this expression exists for STREAMING, where
     per-row locality is the right shape (no shuffle before the stateful
-    banding stage)."""
+    banding stage).
+
+    The shingle array and both hash arrays are _let-bound (see _let):
+    without the binding, every one of the ``num_perm`` array_min terms
+    re-evaluated the full shingle construction and both hash transforms
+    from scratch — num_perm redundant passes per row."""
     sh = F.array_distinct(_token_shingles(text_col, shingle_k))
-    h1 = F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
-                                          F.lit(2305843009213693951)))
-    h2 = F.transform(sh, lambda s: F.pmod(F.xxhash64(s, F.lit(1)),
-                                          F.lit(2147483647)))
-    return F.array(*[
-        F.array_min(F.zip_with(
-            h1, h2, lambda a, b: a + F.lit(i).cast("long") * b))
-        for i in range(num_perm)
-    ])
+
+    def with_hashes(hh):
+        return F.array(*[
+            F.array_min(F.zip_with(
+                hh["h1"], hh["h2"],
+                lambda a, b: a + F.lit(i).cast("long") * b))
+            for i in range(num_perm)
+        ])
+
+    hashes = _let(sh, lambda s: F.struct(
+        F.transform(s, lambda x: F.pmod(F.xxhash64(x),
+                                        F.lit(2305843009213693951)))
+        .alias("h1"),
+        F.transform(s, lambda x: F.pmod(F.xxhash64(x, F.lit(1)),
+                                        F.lit(2147483647)))
+        .alias("h2")))
+    return _let(hashes, with_hashes)
 
 
 def band_hash_col(sig_col: str = "sig", num_perm: int = 64,

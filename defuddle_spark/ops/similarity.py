@@ -23,19 +23,28 @@ def _as_double_array(vec: Sequence[float]) -> F.Column:
 
 
 def cosine_similarity_col(emb_col: str, query: Sequence[float]) -> F.Column:
+    from defuddle_spark.ops.dedup import _let
     q = _as_double_array(query)
-    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(emb, q, lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm_e = F.sqrt(F.aggregate(F.transform(emb, lambda a: a * a),
-                                F.lit(0.0), lambda acc, x: acc + x))
     norm_q = float(math.sqrt(sum(float(x) * float(x) for x in query))) or 1.0
-    # a zero-norm vector (empty document) has UNDEFINED similarity: NULL,
-    # not a DIVIDE_BY_ZERO abort (Spark 4 runs ANSI mode by default).
-    # NULL ranks truly last under desc (Spark desc = nulls last) — a 0.0
-    # sentinel would outrank genuinely negative cosines — and threshold
-    # filters drop it naturally, matching cosine_topk_batch's drop.
-    return F.when(norm_e != 0.0, dot / (norm_e * F.lit(norm_q)))
+
+    # the cast-to-double transform is _let-bound so the dot product and
+    # the norm read one bound array instead of each re-running the
+    # per-element cast pass (see ops.dedup._let)
+    def build(emb):
+        dot = F.aggregate(F.zip_with(emb, q, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        norm_e = F.sqrt(F.aggregate(F.transform(emb, lambda a: a * a),
+                                    F.lit(0.0), lambda acc, x: acc + x))
+        # a zero-norm vector (empty document) has UNDEFINED similarity:
+        # NULL, not a DIVIDE_BY_ZERO abort (Spark 4 runs ANSI mode by
+        # default). NULL ranks truly last under desc (Spark desc = nulls
+        # last) — a 0.0 sentinel would outrank genuinely negative
+        # cosines — and threshold filters drop it naturally, matching
+        # cosine_topk_batch's drop.
+        return F.when(norm_e != 0.0, dot / (norm_e * F.lit(norm_q)))
+
+    return _let(F.transform(F.col(emb_col), lambda x: x.cast("double")),
+                build)
 
 
 def cosine_topk(embeddings: DataFrame, query: Sequence[float], k: int = 10,
@@ -307,18 +316,29 @@ def lsh_signature_col(emb_col: str, dim: int, planes: int = 16) -> F.Column:
     chained with bitwiseOR(when(...)): the flat shape keeps the expression
     tree shallow, which is what Catalyst analysis + codegen time scale
     with (the chained form cost ~10 s of driver-side compile per query).
+
+    The cast-to-double transform is _let-bound: without the binding,
+    every per-plane dot product re-ran the whole cast pass over the
+    vector — ``planes`` redundant O(dim) passes per row (see
+    ops.dedup._let).
     """
-    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    from defuddle_spark.ops.dedup import _let
     hyper = F.array(*[_as_double_array(_hyperplane(p, dim))
                       for p in range(planes)])
     masks = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
-    bits = F.zip_with(
-        hyper, masks,
-        lambda h, m: F.when(
-            F.aggregate(F.zip_with(emb, h, lambda a, b: a * b),
-                        F.lit(0.0), lambda acc, x: acc + x) >= 0,
-            m).otherwise(F.lit(0).cast("long")))
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    def build(emb):
+        bits = F.zip_with(
+            hyper, masks,
+            lambda h, m: F.when(
+                F.aggregate(F.zip_with(emb, h, lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x) >= 0,
+                m).otherwise(F.lit(0).cast("long")))
+        return F.aggregate(bits, F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+
+    return _let(F.transform(F.col(emb_col), lambda x: x.cast("double")),
+                build)
 
 
 def ann_index(embeddings: DataFrame, dim: int,
@@ -420,15 +440,22 @@ def _nearest_list_col(emb_col: str, centroids: List[List[float]]) -> F.Column:
     (the mean minimizes summed squared L2, so assignment+update share one
     convergence objective). The previous inner-product assignment let
     large-norm centroids capture disproportionate lists on unnormalized
-    embeddings (ADVICE r3)."""
+    embeddings (ADVICE r3). The cast transform is _let-bound so the
+    per-centroid distances read one bound array instead of re-casting
+    the vector n_lists times (see ops.dedup._let)."""
+    from defuddle_spark.ops.dedup import _let
     cent = F.array(*[F.array(*[F.lit(float(v)) for v in c])
                      for c in centroids])
-    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
-    d2 = F.transform(
-        cent, lambda c: F.aggregate(
-            F.zip_with(emb, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x))
-    return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+
+    def build(emb):
+        d2 = F.transform(
+            cent, lambda c: F.aggregate(
+                F.zip_with(emb, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x))
+        return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+
+    return _let(F.transform(F.col(emb_col), lambda x: x.cast("double")),
+                build)
 
 
 def ivf_train(embeddings: DataFrame, n_lists: int = 16,
