@@ -138,25 +138,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Universal-hashing construction: each shingle is string-hashed twice
     (h1 = xxhash64(s) mod 2^61-1, h2 = xxhash64(s,1) mod 2^31-1);
     permutation i is min over shingles of h1 + i*h2 (never overflows
-    int64 under ANSI). Implemented as explode + hash aggregate rather
-    than array higher-order functions: Catalyst interprets transform/
-    zip_with lambdas per element, while min() aggregates run in
-    whole-stage codegen with map-side partial aggregation (the shuffle
-    carries one row per doc, not per shingle).
+    int64 under ANSI).
+
+    Round 8: computed ROW-LOCALLY (minhash_signature_col — the very
+    expression the streaming path uses, so batch and streaming
+    signatures are one definition) instead of the old explode + 64-way
+    min-aggregate. The explode shape paid a full exchange of one row
+    per (doc, shingle); its rationale ("codegen aggregates beat
+    interpreted HOFs") predated fixing the lambda re-evaluation
+    pathology (_let) — re-measured after the fix, row-local is 2x
+    faster at sf0.1 and ties at sf1.0 while shuffling NOTHING, which is
+    the shape that holds at 100 TB.
     """
-    shingles = F.array_distinct(_token_shingles(text_col, shingle_k))
     docs = _ensure_parallel(docs)
-    exploded = docs.select(F.col(id_col), F.explode(shingles).alias("_sh"))
-    hashed = exploded.select(
+    return docs.select(
         F.col(id_col),
-        F.pmod(F.xxhash64("_sh"), F.lit(2305843009213693951)).alias("_h1"),
-        F.pmod(F.xxhash64("_sh", F.lit(1)), F.lit(2147483647)).alias("_h2"))
-    aggd = hashed.groupBy(id_col).agg(*[
-        F.min(F.col("_h1") + F.lit(i).cast("long") * F.col("_h2")).alias(f"_m{i}")
-        for i in range(num_perm)
-    ])
-    sig = F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
-    return aggd.select(F.col(id_col), sig.alias("sig"))
+        minhash_signature_col(text_col, num_perm, shingle_k).alias("sig"))
 
 
 def _drop_hot_buckets(banded: DataFrame, key_cols: List[str], cap: int,
