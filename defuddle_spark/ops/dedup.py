@@ -286,6 +286,56 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             f"is all-pairs within shared shingles; use "
             f"minhash_lsh_candidates (the banded scale path) or raise "
             f"max_docs explicitly.")
+    if 0.9999995 <= threshold <= 1.0:
+        # Threshold-1.0 specialization (round 8), provably output-equal:
+        # the filter round(j, 6) >= 1.0 holds iff j >= 0.9999995, and a
+        # pair with NON-equal distinct-shingle sets has
+        # j <= 1 - 1/|union| — which can only reach 0.9999995 when a
+        # doc carries >= 10^6 distinct shingles (guarded below, falling
+        # back to the general join). So the result is exactly the
+        # equal-set pairs, computable by grouping on a signature of the
+        # per-doc sorted shingle-hash set — row-local work plus ONE
+        # exchange of 16-byte keys, instead of the all-pairs shingle
+        # join whose hot-shingle buckets grow quadratically (measured
+        # 109 s at sf1.0 for the join vs seconds for this). Same
+        # 128-bit hash identity the join path uses.
+        base = _ensure_parallel(docs).select(
+            F.col(id_col),
+            F.array_sort(F.array_distinct(F.transform(
+                _token_shingles(text_col, k),
+                lambda s: F.struct(F.xxhash64(s).alias("h1"),
+                                   F.xxhash64(s, F.lit(1)).alias("h2")))))
+            .alias("_hs"))
+        # cheap upper bound on distinct shingles/doc: the token count
+        # (shingle count is n_tokens - k + 1 <= n_tokens); avoids
+        # running the full hash+sort projection twice for the guard
+        mx = docs.agg(F.max(F.size(
+            F.split(F.trim(F.col(text_col)), r"\s+")))).first()[0]
+        if mx is not None and mx < 1_000_000:
+            sig = base.select(
+                F.col(id_col),
+                F.xxhash64("_hs").alias("_k1"),
+                F.xxhash64("_hs", F.lit(1)).alias("_k2"))
+            grp = (sig.groupBy("_k1", "_k2")
+                   .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+                   .filter(F.size("_ids") > 1))
+            ids = F.col("_ids")
+            pairs = F.flatten(F.transform(
+                F.sequence(F.lit(1), F.size(ids) - 1),
+                lambda i: F.transform(
+                    F.slice(ids, 1, i),
+                    lambda a: F.struct(a.alias("id_a"),
+                                       F.element_at(ids, i + 1)
+                                       .alias("id_b")))))
+            return (grp.select(F.explode(pairs).alias("_p"))
+                    .select(F.col("_p.id_a").alias("id_a"),
+                            F.col("_p.id_b").alias("id_b"),
+                            F.lit(1.0).alias("jaccard"))
+                    # strict, like the join's a.id < b.id: an id-colliding
+                    # corpus (duplicate doc_ids) must not emit self-pairs
+                    .filter(F.col("id_a") < F.col("id_b")))
+        # a >=10^6-distinct-shingle doc exists: the 1/|union| bound no
+        # longer separates equal from near-equal sets — general path
     # the distinct-shingle array is materialized once per row: the
     # per-doc size is row-local (no extra aggregation), and the shingle
     # STRING never crosses an exchange — the self-join keys on a pair of
@@ -310,8 +360,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     jac = (inter
            .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
            .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
-           .withColumn("jaccard", F.round(
-               F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+           # try_divide, provably identical on well-formed input: with
+           # unique ids the denominator >= max(n_a, n_b) >= 1. A corpus
+           # whose ids COLLIDE (two texts under one id) can drive
+           # union-minus-intersection to 0; NULL jaccard then drops at
+           # the threshold filter instead of aborting the job under
+           # ANSI (hit for real at sf1.0, where the doubled-corpus
+           # gate's +10000 shift wraps into the live id range)
+           .withColumn("jaccard", F.round(F.try_divide(
+               F.col("n_common"),
+               F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
            .filter(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
     return jac

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, functions as F
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9][A-Za-z0-9.\-]*\.[A-Za-z]{2,}"
 # octet-exact, digit-bounded so 1.2.3.4000 or 12.3.4.5.6 runs don't match
 _OCT = r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
-IPV4_RE = rf"(?<![0-9.]){_OCT}\.{_OCT}\.{_OCT}\.{_OCT}(?![0-9.])"
+# trailing boundary matches PHONE_RE's: a bare dot may follow (sentence-
+# final "connect to 1.2.3.4." still redacts) but a dot-digit may not
+# ("1.2.3.4.5" version runs stay unmatched) — ADVICE r7
+IPV4_RE = rf"(?<![0-9.]){_OCT}\.{_OCT}\.{_OCT}\.{_OCT}(?!\.?[0-9])"
 # US-shaped: optional (area), first separator optional (covers
 # "(555)123-4567"), second required so bare 10-digit runs (ids,
 # timestamps) never match. Bounded by digits AND dot-digit on both

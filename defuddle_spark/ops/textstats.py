@@ -36,8 +36,27 @@ def _tokens(text_col: str) -> F.Column:
     return F.split(F.trim(F.col(text_col)), ASCII_WS_RE)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Spread narrow inputs before per-row array work: a single parquet
+    file scans as ONE partition, serializing row-local ops onto one
+    core (same rationale as ops.dedup._ensure_parallel; plan-only
+    probe, a no-op on inputs that already have many files)."""
+    from defuddle_spark.spark.partitions import is_narrow
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if is_narrow(docs, target):
+        return docs.repartition(target)
+    return docs
+
+
 def token_count_col(text_col: str) -> F.Column:
-    return F.size(_tokens(text_col))
+    """Whitespace token count; empty/whitespace-only documents count 0.
+
+    Splitting a trimmed empty string yields [''] — the empty
+    pseudo-token is filtered (the same rule unigram_cross_entropy
+    applies), so mix_sources' per-stratum budget math and domain_stats'
+    token shares are not inflated by one token per empty doc
+    (ADVICE r7)."""
+    return F.size(F.filter(_tokens(text_col), lambda t: t != ""))
 
 
 # GPT-2-style pre-tokenizer shape (contractions, letter runs, digit runs,
@@ -55,12 +74,17 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe_token) — the two
     token-count bases an LLM-data pipeline budgets with: whitespace words
     and a BPE-ish subword proxy (regexp_count stays in whole-stage codegen;
-    no Python tokenizer in the hot path)."""
-    n_ws = F.size(_tokens(text_col))
-    n_bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
-    return docs.select(
+    no Python tokenizer in the hot path). The BPE count is materialized
+    once per row — chars_per_bpe_token references it twice, and inlined
+    that ran the full-text regex scan twice (round 8) — and narrow
+    inputs are spread across cores."""
+    pre = _spread(docs).select(
+        F.col(id_col), F.col(text_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("_bpe"))
+    n_bpe = F.col("_bpe")
+    return pre.select(
         F.col(id_col),
-        n_ws.cast("int").alias("n_ws_tokens"),
+        F.size(_tokens(text_col)).cast("int").alias("n_ws_tokens"),
         n_bpe.cast("int").alias("n_bpe_tokens"),
         F.round(F.length(text_col).cast("double")
                 / F.greatest(n_bpe, F.lit(1)), 6).alias("chars_per_bpe_token"))
@@ -70,8 +94,14 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio,
     punct_ratio, digit_ratio, quality_score). Length/punct/stopword-ratio
-    quality scoring per the training-data-pipeline spec."""
-    tokens = _tokens(text_col)
+    quality scoring per the training-data-pipeline spec.
+
+    The token array is materialized once per row (round 8): the size /
+    length-fold / stopword-filter consumers each re-ran the regex split
+    when it was inlined, and narrow inputs are spread across cores."""
+    docs = _spread(docs).select(
+        F.col(id_col), F.col(text_col), _tokens(text_col).alias("_tk"))
+    tokens = F.col("_tk")
     n_tokens = F.size(tokens)
     n_chars = F.length(F.col(text_col))
     avg_len = F.round(
@@ -116,23 +146,35 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         lambda acc, t: F.pmod(acc * F.lit(31).cast("long")
                               + F.length(t).cast("long"),
                               F.lit(1000000007).cast("long")))
-    return docs.select(F.col(id_col), fp_md5.alias("fp_md5"),
-                       fp_poly.alias("fp_poly"))
+    return _spread(docs).select(F.col(id_col), fp_md5.alias("fp_md5"),
+                                fp_poly.alias("fp_poly"))
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang) — heuristic: CJK char ratio → zh, else the
-    language whose marker-word hit count is highest (ties: en)."""
-    tokens = F.transform(_tokens(text_col), F.lower)
-    n_cjk = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), r"[一-鿿]", ""))
+    language whose marker-word hit count is highest (ties: en).
+
+    Round 8: the lowered token array and the four marker scores are
+    materialized columns — the when-chain references each score twice,
+    and inlined that re-ran the split + lower + filter pass per
+    reference; narrow inputs are spread across cores."""
+    pre = _spread(docs).select(
+        F.col(id_col), F.col(text_col),
+        F.transform(_tokens(text_col), F.lower).alias("_lt"))
+
     def _marker_score(markers):
         arr = F.array(*[F.lit(w) for w in markers])
-        return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+        return F.size(F.filter(F.col("_lt"),
+                               lambda t: F.array_contains(arr, t)))
 
-    scores = {lang: _marker_score(markers)
-              for lang, markers in LANG_MARKERS.items()}
+    pre = pre.select(
+        F.col(id_col), F.col(text_col),
+        *[_marker_score(m).alias(f"_s_{lang}")
+          for lang, m in LANG_MARKERS.items()])
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_MARKERS}
+    n_cjk = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[一-鿿]", ""))
     best = F.lit("en")
     best_score = scores["en"]
     for lang in ("de", "fr", "es"):
@@ -140,7 +182,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
     pred = F.when(n_cjk * 4 > F.length(F.col(text_col)), F.lit("zh")).otherwise(best)
-    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+    return pre.select(F.col(id_col), pred.alias("pred_lang"))
 
 
 def repetition_signals(docs: DataFrame, id_col: str = "doc_id",

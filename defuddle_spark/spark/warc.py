@@ -552,7 +552,13 @@ def iter_warc_records(raw: bytes, stats: Optional[dict] = None,
                     continue
                 return
             if length < 0:
-                return  # malformed framing: stop rather than misattribute
+                # malformed framing: same recovery as the sibling
+                # branches — try the resync boundary before giving up,
+                # so one garbled member can't drop the rest of the
+                # archive (ADVICE r7)
+                if stream.consume_resync():
+                    continue
+                return
             payload = stream.read(length)
             if len(payload) < length:
                 if stream.consume_resync():

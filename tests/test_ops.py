@@ -956,6 +956,72 @@ def test_pii_signals(spark):
     assert (out[7]["n_emails"], out[7]["n_ipv4"], out[7]["n_phones"]) == (1, 1, 1)
 
 
+def test_ngram_jaccard_threshold1_specialization_differential(spark):
+    """The threshold-1.0 equal-sets fast path (round 8) must emit
+    EXACTLY the shingle self-join's pairs — including NULL/empty/short
+    documents (whose fallback shingle is the joined token string) and
+    within-group completeness on triples."""
+    from defuddle_spark.ops import dedup as dd
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),          # dup of 1
+        (3, "alpha beta gamma delta epsilon"),          # dup of 1
+        (4, "alpha beta gamma delta zeta"),              # near, not equal
+        (5, ""), (6, None), (7, "   "),                  # all same fallback
+        (8, "one two"), (9, "one two"),                  # short-doc fallback
+        (10, "one two three"),                           # real 3-gram doc
+        (11, "gamma delta epsilon alpha beta"),          # same tokens, diff order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in dd.ngram_jaccard_pairs(df, threshold=1.0).collect()}
+    # force the general join path (threshold below the gate), then keep
+    # exactly the rounds-to-1.0 pairs the fast path must reproduce
+    slow = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in dd.ngram_jaccard_pairs(df, threshold=0.999999)
+            .filter("jaccard >= 1.0").collect()}
+    assert fast == slow
+    ids = {(a, b) for a, b, _ in fast}
+    assert {(1, 2), (1, 3), (2, 3), (5, 6), (5, 7), (6, 7),
+            (8, 9)} <= ids
+    assert all(j == 1.0 for _, _, j in fast)
+    assert (1, 4) not in ids and (10, 8) not in ids and (10, 11) not in ids
+
+
+def test_pii_ipv4_sentence_final(spark):
+    """A sentence-final IP ('connect to 1.2.3.4.') is detected AND
+    redacted — the trailing boundary allows a bare dot, like PHONE_RE's
+    — while dot-digit version runs ('1.2.3.4.5') stay unmatched
+    (ADVICE r7)."""
+    from defuddle_spark.ops.pii import pii_signals, redact_pii
+    rows = [(1, "connect to 1.2.3.4."),
+            (2, "semver 1.2.3.4.5 is not an address"),
+            (3, "end of line 10.0.0.1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert sig[1]["n_ipv4"] == 1 and sig[1]["has_pii"]
+    assert sig[2]["n_ipv4"] == 0
+    assert sig[3]["n_ipv4"] == 1
+    red = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert red[1]["text"] == "connect to |||IP_ADDRESS|||."
+    assert red[2]["text"] == "semver 1.2.3.4.5 is not an address"
+
+
+def test_token_count_empty_doc_counts_zero(spark):
+    """token_count_col counts an empty/whitespace-only doc as 0 tokens
+    (split of trimmed '' yields [''] — the pseudo-token is filtered), so
+    mix_sources budgets and domain_stats token shares aren't inflated
+    (ADVICE r7). NULL propagates as NULL, as before."""
+    from defuddle_spark.ops.textstats import token_count_col
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n\t "), (3, "two tokens"), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", token_count_col("text").alias("n")).collect()}
+    assert out[1] == 0 and out[2] == 0 and out[3] == 2
+    assert out[4] is None
+
+
 def test_redact_pii(spark):
     """Masks replace spans in place; counts match; NULL stays NULL."""
     from defuddle_spark.ops.pii import redact_pii

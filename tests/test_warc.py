@@ -330,6 +330,34 @@ def test_iter_warc_records_negative_content_length():
         ["https://w.example.test/before"]
 
 
+def test_iter_warc_records_negative_length_takes_pending_resync():
+    """A corrupt member whose recovered prefix parses as a NEGATIVE
+    Content-Length must take the pending resync boundary like every
+    sibling malformed-header branch (ADVICE r7): the rest of the
+    archive survives. Without a pending boundary (plain malformed
+    archive, pinned above) a negative length still ends iteration."""
+    from defuddle_spark.spark.warc import iter_warc_records
+    good0 = gzip.compress(_warc_record("https://w.example.test/g0",
+                                       _http_payload(_page(0))))
+    pad = _noisy_page(7, 400)
+    evil_plain = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                  b"WARC-Target-URI: https://w.example.test/evil\r\n"
+                  b"Content-Length: -7\r\n\r\n" + pad)
+    evil = bytearray(gzip.compress(evil_plain))
+    # corrupt mid-deflate, well past the header block's compressed
+    # bytes: the replay recovers the header cleanly, then zlib errors
+    evil[len(evil) // 2] ^= 0xFF
+    good1 = gzip.compress(_warc_record("https://w.example.test/g1",
+                                       _http_payload(_page(1)),
+                                       rec_id=b"<urn:uuid:neg-g1>"))
+    stats = {}
+    recs = list(iter_warc_records(good0 + bytes(evil) + good1,
+                                  stats=stats))
+    assert [r["warc-target-uri"] for r in recs] == \
+        ["https://w.example.test/g0", "https://w.example.test/g1"]
+    assert stats["resyncs"] >= 1
+
+
 def test_decode_http_payload_multimember_gzip_body():
     """Multi-member gzip Content-Encoding bodies decode fully — a
     one-shot zlib.decompress stops silently after member one."""
