@@ -390,14 +390,26 @@ def q_dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text",
                     F.timestamp_seconds(F.lit(t0 + 100_010)).alias("ts")),
     ]
+    # ONE staging job for all three micro-batch files (round 8; was one
+    # coalesce(1) write job per batch): union with a batch tag,
+    # repartition by the tag so each batch's rows land in exactly one
+    # task, and partitionBy writes one file per _b= directory — the
+    # files are then renamed into mtime order exactly as before. The
+    # parquet files carry (doc_id, text, ts) only (the partition column
+    # is directory-encoded), identical to the per-batch writes.
+    stage = f"{base}/stage"
+    tagged = None
     for i, df in enumerate(batches):
-        stage = f"{base}/stage{i}"
-        df.coalesce(1).write.parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        t = df.withColumn("_b", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    (tagged.repartition(4, "_b")
+     .write.partitionBy("_b").parquet(stage))
+    for i in range(len(batches)):
+        part = glob.glob(f"{stage}/_b={i}/part-*.parquet")[0]
         dest = f"{inp}/b{i}.parquet"
         os.replace(part, dest)
         os.utime(dest, (1000 * (i + 1), 1000 * (i + 1)))  # batch order
-        shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     # one staged file per micro-batch -> keys/batch = the corpus size
     with _state_partitions(spark, n_keys=docs.count()):
         q = dedup_exact_stream_watermark(spark, inp, outp, ckpt,
