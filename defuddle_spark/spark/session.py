@@ -63,7 +63,15 @@ def get_spark(cores: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(arrow_batch_bytes))
         .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local mode the driver JVM hosts EVERY executor thread, so
+        # its heap is the whole cluster's unified memory pool: 8g for 32
+        # concurrent tasks plus a cached corpus measurably GC-throttled
+        # the shuffle/state-heavy queries (full-bench A/B at sf0.1:
+        # 106.7 s at 8g -> 91.9 s at 16g, the delta concentrated in
+        # exactly those queries). 16g on the 128 GiB sandbox; still
+        # env-overridable, and on a real cluster this conf sizes only
+        # the driver — executors are sized by the submitter.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
     if rocksdb_state_store:
